@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Benchmark CLI — protocol of the reference's src/bench.c, extended.
+
+Reference protocol (bench.c:22-53): 2-galaxy scene, fixed seed 11037, 10
+warmup updates + 100 timed updates per backend, report µs/update, over an N
+ladder. Here additionally: pair-interactions/sec/chip (the BASELINE.json
+primary metric) and the larger-N configs (65k single chip, 1M headless).
+
+Prints ONE JSON line for the driver:
+  {"metric": "pair_interactions_per_sec_per_chip_n65536", "value": ...,
+   "unit": "pairs/s", "vs_baseline": value / 1e11}
+(vs_baseline is against the 1e11 pairs/s/chip north-star target; the
+reference publishes no numbers of its own — BASELINE.md.)
+
+Everything else (ladder tables, per-size timings) goes to stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import nbody_tpu as nb
+
+# Reference ladder (bench.c:38) plus the BASELINE.json configs.
+REFERENCE_SIZES = [250, 500, 800, 1200, 2000, 4000, 10000, 20000, 50000, 100000]
+EXTRA_SIZES = [65536, 262144, 1048576]
+
+SEED = 11037  # bench.c:42
+WARMUP_ITER = 10  # bench.c:22
+BENCH_ITER = 100  # bench.c:23
+UPDATE_STEP = 1.0  # bench.c:21
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench_world(world: nb.World, backend: str, iters: int = BENCH_ITER) -> float:
+    """10 warmup + `iters` timed substeps, fused in single update calls
+    (bench.c:25-35). Returns µs per substep."""
+    world.update(UPDATE_STEP, WARMUP_ITER, backend=backend)
+    world.block_until_ready()
+    t0 = time.perf_counter()
+    world.update(UPDATE_STEP, iters, backend=backend)
+    world.block_until_ready()
+    t1 = time.perf_counter()
+    return (t1 - t0) / iters * 1e6
+
+
+def make_world(n: int, config=None) -> nb.World:
+    scene = nb.make_galaxies(n, 2, seed=SEED)
+    return nb.create_world(scene, config=config or nb.DEFAULT_SIM_CONFIG)
+
+
+def run_ladder(args):
+    sizes = [s for s in (REFERENCE_SIZES + EXTRA_SIZES if args.extra else REFERENCE_SIZES)
+             if s <= args.max_n]
+    backends = []
+    if args.cpu:
+        backends.append("jnp")
+    if args.gpu:
+        backends.append("pallas")
+    log(f"platform={jax.default_backend()} devices={jax.devices()}")
+    log(f"{'N':>9} " + " ".join(f"{b:>12}" for b in backends) + "   (µs/update)")
+    for n in sizes:
+        row = [f"{n:>9}"]
+        pairs_rate = {}
+        for b in backends:
+            w = make_world(n)
+            iters = BENCH_ITER if n <= 200000 else 10
+            us = bench_world(w, b, iters)
+            row.append(f"{us:>12.1f}")
+            pairs_rate[b] = w.total_len * w.mass_len / (us / 1e6)
+            del w
+        log(" ".join(row) + "   " +
+            " ".join(f"{b}:{pairs_rate[b]:.3e} pairs/s" for b in backends))
+
+
+def run_primary(args) -> dict:
+    n = args.n
+    w = make_world(n)
+    us = bench_world(w, "pallas", args.iters)
+    pairs = w.total_len * w.mass_len
+    rate = pairs / (us / 1e6)
+    log(f"primary: N={n} mass_len={w.mass_len} padded={w.n_pad}x{w.src_len} "
+        f"{us:.1f} µs/step {rate:.3e} pairs/s")
+    return {
+        "metric": f"pair_interactions_per_sec_per_chip_n{n}",
+        "value": rate,
+        "unit": "pairs/s",
+        "vs_baseline": rate / 1e11,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--ladder", action="store_true", help="run the full N ladder (stderr table)")
+    ap.add_argument("--extra", action="store_true", help="include 65k/262k/1M sizes in ladder")
+    ap.add_argument("--max-n", type=int, default=10**9)
+    ap.add_argument("--cpu", action="store_true", help="ladder: include jnp backend")
+    ap.add_argument("--gpu", action="store_true", help="ladder: include pallas backend")
+    ap.add_argument("--n", type=int, default=65536, help="primary metric particle count")
+    ap.add_argument("--iters", type=int, default=BENCH_ITER)
+    args = ap.parse_args()
+    if not args.cpu and not args.gpu:
+        args.gpu = True  # default: the flagship backend
+
+    if args.ladder:
+        run_ladder(args)
+    result = run_primary(args)
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

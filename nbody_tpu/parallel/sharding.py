@@ -1,0 +1,253 @@
+"""Multi-chip particle-space sharding: ring all-gather of source tiles.
+
+The reference is single-device (no NCCL/MPI anywhere — SURVEY.md §2); this
+module is the new framework's scaling story, mandated by BASELINE.json
+("large N shards across a TPU mesh via ring all-gather of particle tiles").
+
+Design — the N-body analogue of ring attention / context parallelism:
+  * particles are sharded along N over a 1-D ``jax.sharding.Mesh`` axis;
+  * each device keeps its target shard resident and accumulates acceleration
+    over D hops; at each hop the *source* tile (pos x/y + G*mass of the
+    massive prefix shard) rotates one step around the ICI ring via
+    ``jax.lax.ppermute`` while the local force kernel runs — compute and
+    communication overlap under XLA's async collectives;
+  * after the last hop, each shard integrates locally (embarrassingly
+    parallel). No O(N^2) anything is ever materialized, and per-step
+    communication is O(N_sources), independent of the O(N^2/D) compute.
+
+The same code path runs on a real TPU pod slice and on a CPU "fake mesh"
+(``--xla_force_host_platform_device_count``), which is how tests exercise it.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import forces
+from ..ops.pallas_forces import SOURCE_ALIGN, pallas_acc
+from ..types import DTYPE, Particles, SimConfig, DEFAULT_SIM_CONFIG, round_up
+from ..world import partition_massive_first
+
+AXIS = "shard"
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """1-D device mesh over the particle axis."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+def _local_acc(
+    tgt_pos, tgt_radius, src_pos, src_gm, *, config: SimConfig, force_backend: str
+):
+    """Force of one visiting source tile on the local target shard."""
+    if force_backend == "pallas":
+        return pallas_acc(
+            tgt_pos, tgt_radius, src_pos, src_gm,
+            tile_targets=config.tile_targets,
+            tile_sources=config.tile_sources,
+            precise=config.precise,
+        )
+    chunk = min(config.tile_targets, tgt_pos.shape[0])
+    return forces.direct_sum_acc(
+        tgt_pos, tgt_radius, src_pos, src_gm, chunk=chunk, precise=config.precise
+    )
+
+
+def _ring_step_shard(
+    pos, vel, radius, gm_src, src_pos0, valid, dt,
+    *, n_devices: int, config: SimConfig, force_backend: str
+):
+    """Body run per device under shard_map: one substep.
+
+    Args (all *local* shards):
+      pos, vel: (n_loc, 2) targets.  radius: (n_loc,).
+      gm_src: (s_loc,) G*mass of this device's source shard (zero-padded).
+      src_pos0: (s_loc, 2) this device's source shard positions (a prefix
+        gather of the massive partition; kept consistent with pos by the
+        caller each substep).
+      valid: (n_loc, 1) 1.0 for real particles.
+    """
+    acc = jnp.zeros_like(pos)
+    src_pos, src_gm = src_pos0, gm_src
+
+    # D hops: compute on the resident tile, rotate it to the right neighbor.
+    # ppermute is issued before the compute so XLA can overlap the transfer
+    # with the force kernel of the current hop.
+    perm = [(i, (i + 1) % n_devices) for i in range(n_devices)]
+    for hop in range(n_devices):
+        if hop < n_devices - 1:
+            next_pos = jax.lax.ppermute(src_pos, AXIS, perm)
+            next_gm = jax.lax.ppermute(src_gm, AXIS, perm)
+        acc = acc + _local_acc(
+            pos, radius, src_pos, src_gm,
+            config=config, force_backend=force_backend,
+        )
+        if hop < n_devices - 1:
+            src_pos, src_gm = next_pos, next_gm
+
+    acc = acc * valid
+    vel = vel + dt * acc
+    pos = pos + dt * vel
+    return pos, vel, acc
+
+
+class ShardedWorld:
+    """Multi-device World: particles sharded over a 1-D mesh.
+
+    Mirrors the single-chip :class:`nbody_tpu.world.World` API (update /
+    particles), with the force computed by the ppermute ring above.
+
+    Layout invariants:
+      * global padded particle count ``n_pad`` divisible by ``D``;
+      * source row (massive prefix, zero-padded) length ``src_len`` divisible
+        by ``D`` and each source shard aligned to SOURCE_ALIGN lanes;
+      * each device's source shard is a slice of the *global* massive prefix,
+        so rotating all D shards around the ring covers exactly the
+        ``mass_len`` force-exerting particles (quirk #3 preserved).
+    """
+
+    def __init__(
+        self,
+        particles: Particles,
+        mesh: Mesh | None = None,
+        *,
+        config: SimConfig = DEFAULT_SIM_CONFIG,
+        force_backend: Literal["jnp", "pallas"] | None = None,
+    ):
+        self.mesh = mesh if mesh is not None else make_mesh()
+        d = self.mesh.devices.size
+        self.n_devices = d
+        self.config = config
+        if force_backend is None:
+            force_backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+        self.force_backend = force_backend
+
+        host = jax.tree.map(np.asarray, particles)
+        n = host.pos.shape[0]
+        order, mass_len = partition_massive_first(host.mass)
+
+        # per-device source shard length
+        s_loc = round_up(max(mass_len, 1), SOURCE_ALIGN * d) // d
+        if s_loc > config.tile_sources:
+            s_loc = round_up(s_loc, config.tile_sources)
+        src_len = s_loc * d
+        # per-device target shard length
+        t_loc = round_up(max(n, src_len), 8 * d) // d
+        if t_loc > config.tile_targets:
+            t_loc = round_up(t_loc, config.tile_targets)
+        n_pad = t_loc * d
+
+        self.total_len = n
+        self.mass_len = mass_len
+        self.src_len = src_len
+        self.n_pad = n_pad
+        self.t_loc = t_loc
+        self.s_loc = s_loc
+
+        def pad(a, fill):
+            out = np.full((n_pad,) + a.shape[1:], fill, dtype=np.float32)
+            out[:n] = a[order]
+            return out
+
+        idx = np.arange(n_pad)
+        gm_full = np.where(idx < mass_len, config.g * pad(host.mass, 0.0), 0.0).astype(np.float32)
+        valid = (idx < n).astype(np.float32)[:, None]
+
+        sh = NamedSharding(self.mesh, P(AXIS))
+        sh2 = NamedSharding(self.mesh, P(AXIS, None))
+        self.pos = jax.device_put(pad(host.pos, 0.0), sh2)
+        self.vel = jax.device_put(pad(host.vel, 0.0), sh2)
+        self.acc = jax.device_put(pad(host.acc, 0.0), sh2)
+        self.mass = jax.device_put(pad(host.mass, 0.0), sh)
+        self.radius = jax.device_put(pad(host.radius, 1.0), sh)
+        # gm for the source prefix, resharded so each device owns s_loc of it
+        self.gm_src = jax.device_put(gm_full[:src_len], sh)
+        self.valid = jax.device_put(valid, sh2)
+        self._update_fn = self._build_update()
+        self._host_cache: Particles | None = None
+
+    def _build_update(self):
+        mesh = self.mesh
+        d = self.n_devices
+        config = self.config
+        force_backend = self.force_backend
+        src_len = self.src_len
+
+        @functools.partial(
+            jax.jit, donate_argnums=(0, 1, 2),
+        )
+        def update(pos, vel, acc, radius, gm_src, valid, dt, n):
+            in_specs = (
+                P(AXIS, None), P(AXIS, None), P(AXIS),
+                P(AXIS), P(AXIS, None), P(AXIS, None),
+            )
+            step = functools.partial(
+                _ring_step_shard,
+                n_devices=d, config=config, force_backend=force_backend,
+            )
+
+            def shard_body(pos, vel, radius, gm_src, src_pos0, valid, dt):
+                return step(pos, vel, radius, gm_src, src_pos0, valid, dt)
+
+            smapped = jax.shard_map(
+                shard_body,
+                mesh=mesh,
+                in_specs=in_specs + (P(),),
+                out_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None)),
+                # pallas_call outputs don't carry varying-mesh-axis metadata
+                check_vma=False,
+            )
+
+            def body(_, carry):
+                pos, vel, acc = carry
+                # source shard = slice of the global massive prefix, gathered
+                # from the (possibly cross-shard) first src_len rows of pos.
+                src_pos0 = jax.lax.with_sharding_constraint(
+                    pos[:src_len], NamedSharding(mesh, P(AXIS, None))
+                )
+                pos, vel, acc = smapped(pos, vel, radius, gm_src, src_pos0, valid, dt)
+                return pos, vel, acc
+
+            return jax.lax.fori_loop(0, n, body, (pos, vel, acc))
+
+        return update
+
+    def update(self, dt: float, n: int = 1) -> "ShardedWorld":
+        if n <= 0:
+            return self
+        self.pos, self.vel, self.acc = self._update_fn(
+            self.pos, self.vel, self.acc, self.radius, self.gm_src, self.valid,
+            jnp.float32(dt), jnp.int32(n),
+        )
+        self._host_cache = None
+        return self
+
+    @property
+    def particles(self) -> Particles:
+        if self._host_cache is None:
+            n = self.total_len
+            self._host_cache = Particles(
+                pos=np.asarray(self.pos)[:n],
+                vel=np.asarray(self.vel)[:n],
+                acc=np.asarray(self.acc)[:n],
+                mass=np.asarray(self.mass)[:n],
+                radius=np.asarray(self.radius)[:n],
+            )
+        return self._host_cache
+
+    def block_until_ready(self) -> "ShardedWorld":
+        jax.block_until_ready((self.pos, self.vel, self.acc))
+        return self
+
+    def __len__(self) -> int:
+        return self.total_len

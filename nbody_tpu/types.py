@@ -1,0 +1,172 @@
+"""Core particle state types and constants.
+
+TPU-native counterpart of the reference's ``include/nbody.h`` (reference:
+``include/nbody.h:8`` for NB_G, ``include/nbody.h:47-50`` for ``Particle``).
+
+Instead of an array-of-structs ``Particle {pos, vel, acc: V2; mass, radius}``,
+state is a structure-of-arrays pytree (``Particles``) that lives in device HBM
+and flows through jitted step functions. fp32 everywhere, matching the
+reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Gravitational constant; `g = G * mass / dist^2` (reference include/nbody.h:8).
+G = 10.0
+
+# Default fp32 dtype used for all physical state (reference is fp32 throughout).
+DTYPE = jnp.float32
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["pos", "vel", "acc", "mass", "radius"],
+    meta_fields=[],
+)
+@dataclass
+class Particles:
+    """SoA particle state pytree.
+
+    Shapes: ``pos``, ``vel``, ``acc`` are ``(N, 2)``; ``mass``, ``radius`` are
+    ``(N,)``. All fp32. N may include trailing padding rows (see
+    :func:`nbody_tpu.world.create_world`); padding rows have ``mass == 0`` and
+    ``radius == 1`` and are kept identically zero in pos/vel/acc by the
+    integrator's validity mask.
+    """
+
+    pos: jax.Array
+    vel: jax.Array
+    acc: jax.Array
+    mass: jax.Array
+    radius: jax.Array
+
+    @property
+    def n(self) -> int:
+        return self.pos.shape[0]
+
+    def __len__(self) -> int:
+        return self.n
+
+    def to_host(self) -> "Particles":
+        """Explicit device->host export (the only place data leaves the device,
+        collapsing the reference's lazy staging-buffer sync, world.c:76-89)."""
+        return Particles(*(np.asarray(x) for x in astuple_shallow(self)))
+
+    def slice_to(self, n: int) -> "Particles":
+        return Particles(
+            pos=self.pos[:n],
+            vel=self.vel[:n],
+            acc=self.acc[:n],
+            mass=self.mass[:n],
+            radius=self.radius[:n],
+        )
+
+
+def astuple_shallow(p: Particles) -> tuple:
+    return (p.pos, p.vel, p.acc, p.mass, p.radius)
+
+
+def make_particles(
+    pos: Any, vel: Any = None, mass: Any = None, radius: Any = None, acc: Any = None
+) -> Particles:
+    """Build a Particles pytree from array-likes, filling defaults."""
+    pos = jnp.asarray(pos, DTYPE)
+    n = pos.shape[0]
+    if pos.shape != (n, 2):
+        raise ValueError(f"pos must have shape (N, 2), got {pos.shape}")
+
+    def _arr(x, shape, default):
+        if x is None:
+            return jnp.full(shape, default, DTYPE)
+        x = jnp.asarray(x, DTYPE)
+        if x.shape != shape:
+            raise ValueError(f"expected shape {shape}, got {x.shape}")
+        return x
+
+    return Particles(
+        pos=pos,
+        vel=_arr(vel, (n, 2), 0.0),
+        acc=_arr(acc, (n, 2), 0.0),
+        mass=_arr(mass, (n,), 0.0),
+        radius=_arr(radius, (n,), 1.0),
+    )
+
+
+def zeros_particles(n: int) -> Particles:
+    return Particles(
+        pos=jnp.zeros((n, 2), DTYPE),
+        vel=jnp.zeros((n, 2), DTYPE),
+        acc=jnp.zeros((n, 2), DTYPE),
+        mass=jnp.zeros((n,), DTYPE),
+        radius=jnp.ones((n,), DTYPE),
+    )
+
+
+def concat_particles(a: Particles, b: Particles) -> Particles:
+    return jax.tree.map(lambda x, y: jnp.concatenate([x, y], axis=0), a, b)
+
+
+@dataclass(frozen=True)
+class SimConfig:
+    """Simulation configuration.
+
+    The reference bakes these as compile-time constants / Vulkan specialization
+    constants (``sim_gpu.c:54-72``); here they are static Python values closed
+    over by jitted step functions, giving the same recompile-on-change
+    semantics.
+    """
+
+    g: float = G
+    # Target-tile / source-tile sizes for the Pallas kernel (tunable).
+    tile_targets: int = 512
+    tile_sources: int = 1024
+    # Use exact sqrt+divide (matching the reference shader particle_cs.glsl:42-48)
+    # instead of fast rsqrt.
+    precise: bool = True
+
+
+# Galaxy generation constants, mirroring include/galaxy.h:10-61.
+@dataclass(frozen=True)
+class GalaxyConfig:
+    pi: float = 3.1415927
+    min_spirals: int = 2
+    max_spirals: int = 4
+    gc_min_r: float = 200.0
+    gc_max_r: float = 600.0
+    gc_density: float = 30.0
+    np_min_r: float = 1.5
+    np_max_r: float = 9.5
+    np_density: float = 10.0
+    min_particles_per_galaxy: int = 100
+    min_particle_dist_cr_f: float = 5.0
+    max_particle_dist_cr_f: float = 10.0
+    max_particle_dist_pc_f: float = 300.0
+    min_galaxy_separation: float = 1.4
+    max_galaxy_separation: float = 2.0
+    # Massless tracer parameters (galaxy.c:205-206).
+    tracer_radius: float = 0.5
+
+    def r_to_m(self, r, density) -> Any:
+        """Mass from radius: m = (4*pi*rho/3) * r^3 (galaxy.h:21-24)."""
+        return (4.0 * self.pi * density / 3.0) * r * r * r
+
+    @property
+    def min_gc_mass(self) -> float:
+        return float(self.r_to_m(self.gc_min_r, self.gc_density))
+
+
+DEFAULT_GALAXY_CONFIG = GalaxyConfig()
+DEFAULT_SIM_CONFIG = SimConfig()
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m

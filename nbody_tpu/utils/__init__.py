@@ -1,0 +1,3 @@
+from .checkpoint import load_particles, load_world, save_particles, save_world
+
+__all__ = ["load_particles", "load_world", "save_particles", "save_world"]

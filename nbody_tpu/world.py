@@ -1,0 +1,244 @@
+"""World: particle state container + backend mux + step functions.
+
+TPU-native counterpart of the reference's ``src/lib/world.c`` and the public
+API of ``include/nbody.h:61-73`` (CreateWorld / GetWorldParticles /
+UpdateWorld_CPU / UpdateWorld_GPU).
+
+Architectural translation:
+  * The reference keeps a host array + GPU buffers with lazy bidirectional
+    dirty-flag sync (world.c:18-19, 76-89). Here state is a single
+    device-resident SoA pytree; "sync" collapses to an explicit, cached
+    ``jax.device_get`` when the host asks for particles.
+  * The massive-before-massless partition (world.c:33-46, unstable two-pointer
+    swap) becomes a *stable* argsort on ``mass <= 0`` — same invariant (all
+    force-exerting particles first), deterministic order.
+  * ``UpdateWorld_*(w, dt, n)``'s n-substep batching (the GPU dispatch chain,
+    sim_gpu.c:314-333) becomes a ``lax.fori_loop`` inside one jitted call with
+    a *traced* n — one compilation serves every (dt, n), and buffer donation
+    gives the double-buffer reuse of storage[0]/storage[1] (sim_gpu.c:19).
+  * Backends: ``jnp`` (vectorized direct sum, the CPU-path analogue of
+    sim_cpu.c) and ``pallas`` (tiled TPU kernel, the GPU-path analogue of
+    particle_cs.glsl). Both operate on the same device state, so switching is
+    free — the reference's TAB-switch semantics (main.c:112-116) without the
+    copies.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import forces
+from .ops.pallas_forces import SOURCE_ALIGN, pallas_acc
+from .types import (
+    DEFAULT_SIM_CONFIG,
+    DTYPE,
+    Particles,
+    SimConfig,
+    round_up,
+)
+
+Backend = Literal["jnp", "pallas"]
+
+
+def partition_massive_first(mass: np.ndarray) -> tuple[np.ndarray, int]:
+    """Return (permutation, mass_len): indices reordering particles so all
+    with mass > 0 come first (world.c:33-46). Stable within each group."""
+    mass = np.asarray(mass)
+    order = np.argsort(mass <= 0, kind="stable")
+    mass_len = int(np.count_nonzero(mass > 0))
+    return order, mass_len
+
+
+def _step(
+    state: Particles,
+    gm: jax.Array,
+    valid: jax.Array,
+    dt: jax.Array,
+    *,
+    src_len: int,
+    config: SimConfig,
+    backend: Backend,
+    interpret: bool | None,
+) -> Particles:
+    """One substep: force + semi-implicit Euler. Jacobi snapshot semantics —
+    all targets see the same pre-step source positions (the reference's
+    re-pack-per-substep / double-buffer rule, world.c:101-107, sim_gpu.c:19)
+    hold automatically since ``state.pos`` is read once, functionally."""
+    src_pos = state.pos[:src_len]
+    src_gm = gm[:src_len]
+    if backend == "pallas":
+        acc = pallas_acc(
+            state.pos,
+            state.radius,
+            src_pos,
+            src_gm,
+            tile_targets=config.tile_targets,
+            tile_sources=config.tile_sources,
+            precise=config.precise,
+            interpret=interpret,
+        )
+    elif backend == "jnp":
+        chunk = min(config.tile_targets, state.n)
+        acc = forces.direct_sum_acc(
+            state.pos, state.radius, src_pos, src_gm,
+            chunk=chunk, precise=config.precise,
+        )
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
+    # Padding rows stay identically zero (replaces the shader's
+    # `if (i >= total_len) return` guard, particle_cs.glsl:30).
+    acc = acc * valid
+    vel = state.vel + dt * acc
+    pos = state.pos + dt * vel
+    return Particles(pos=pos, vel=vel, acc=acc, mass=state.mass, radius=state.radius)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("src_len", "config", "backend", "interpret"),
+    donate_argnums=(0,),
+)
+def update_state(
+    state: Particles,
+    gm: jax.Array,
+    valid: jax.Array,
+    dt: jax.Array,
+    n: jax.Array,
+    *,
+    src_len: int,
+    config: SimConfig,
+    backend: Backend,
+    interpret: bool | None = None,
+) -> Particles:
+    """Perform ``n`` substeps of size ``dt`` — the whole batch fused in one
+    jitted call, no host round-trips (nbody.h:69-73 semantics). ``dt`` and
+    ``n`` are traced, so speed/step changes never recompile."""
+    body = functools.partial(
+        _step, gm=gm, valid=valid, dt=dt,
+        src_len=src_len, config=config, backend=backend, interpret=interpret,
+    )
+    return jax.lax.fori_loop(0, n, lambda _, st: body(st), state)
+
+
+class World:
+    """Stateful wrapper mirroring the reference World ergonomics.
+
+    Construction partitions massive-first, pads state to kernel-friendly
+    shapes, and moves everything to device once. All updates stay on device.
+    """
+
+    def __init__(
+        self,
+        particles: Particles,
+        *,
+        config: SimConfig = DEFAULT_SIM_CONFIG,
+        default_backend: Backend | None = None,
+    ):
+        host = jax.tree.map(np.asarray, particles)
+        n = host.pos.shape[0]
+        order, mass_len = partition_massive_first(host.mass)
+        pos = host.pos[order]
+        vel = host.vel[order]
+        acc = host.acc[order]
+        mass = host.mass[order]
+        radius = host.radius[order]
+
+        # Source row length: massive particles rounded up to the source-tile
+        # lane alignment; zero-gm padding makes the extra rows inert. Must be
+        # divisible by the effective source tile (min(tile_sources, src_len)).
+        src_len = round_up(max(mass_len, 1), SOURCE_ALIGN)
+        if src_len > config.tile_sources:
+            src_len = round_up(src_len, config.tile_sources)
+        # Padded total: >= src_len (sources are a prefix slice) and divisible
+        # by the effective target tile (min(tile_targets, n_pad)).
+        n_pad = round_up(max(n, src_len), 8)
+        if n_pad > config.tile_targets:
+            n_pad = round_up(n_pad, config.tile_targets)
+
+        def pad(a, fill):
+            out = np.full((n_pad,) + a.shape[1:], fill, dtype=np.float32)
+            out[:n] = a
+            return out
+
+        self.total_len = n
+        self.mass_len = mass_len
+        self.src_len = src_len
+        self.n_pad = n_pad
+        self.config = config
+        self._order = order
+
+        self.state = Particles(
+            pos=jnp.asarray(pad(pos, 0.0)),
+            vel=jnp.asarray(pad(vel, 0.0)),
+            acc=jnp.asarray(pad(acc, 0.0)),
+            mass=jnp.asarray(pad(mass, 0.0)),
+            radius=jnp.asarray(pad(radius, 1.0)),
+        )
+        idx = np.arange(n_pad)
+        self.gm = jnp.asarray(
+            np.where(idx < mass_len, config.g * pad(mass, 0.0), 0.0).astype(np.float32)
+        )
+        self.valid = jnp.asarray((idx < n).astype(np.float32)[:, None])
+
+        if default_backend is None:
+            # Reference heuristic: GPU worthwhile above N ~ 500 (main.c:55).
+            default_backend = "pallas" if n > 500 else "jnp"
+        self.default_backend: Backend = default_backend
+        self._host_cache: Particles | None = None
+
+    # -- update ---------------------------------------------------------
+    def update(self, dt: float, n: int = 1, backend: Backend | None = None) -> "World":
+        if n <= 0:
+            return self
+        backend = backend or self.default_backend
+        self.state = update_state(
+            self.state,
+            self.gm,
+            self.valid,
+            jnp.float32(dt),
+            jnp.int32(n),
+            src_len=self.src_len,
+            config=self.config,
+            backend=backend,
+        )
+        self._host_cache = None
+        return self
+
+    # Reference API names (nbody.h:69-73): "CPU" = vectorized jnp oracle,
+    # "GPU" = the Pallas device kernel.
+    def update_cpu(self, dt: float, n: int = 1) -> "World":
+        return self.update(dt, n, backend="jnp")
+
+    def update_gpu(self, dt: float, n: int = 1) -> "World":
+        return self.update(dt, n, backend="pallas")
+
+    # -- read back -------------------------------------------------------
+    @property
+    def particles(self) -> Particles:
+        """Freshest state as host numpy, sliced to the real particle count —
+        GetWorldParticles (world.c:91-97). Cached until the next update."""
+        if self._host_cache is None:
+            self._host_cache = self.state.slice_to(self.total_len).to_host()
+        return self._host_cache
+
+    def block_until_ready(self) -> "World":
+        jax.block_until_ready(self.state)
+        return self
+
+    def __len__(self) -> int:
+        return self.total_len
+
+
+def create_world(
+    particles: Particles,
+    *,
+    config: SimConfig = DEFAULT_SIM_CONFIG,
+    default_backend: Backend | None = None,
+) -> World:
+    """CreateWorld (nbody.h:61)."""
+    return World(particles, config=config, default_backend=default_backend)

@@ -1,0 +1,137 @@
+"""Unit tests for the jnp direct-sum oracle: golden values, softening
+semantics, massless rules, self-interaction — the physics quirk checklist of
+SURVEY.md §5."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nbody_tpu import G, direct_sum_acc, pair_acc, acc_from_particles, make_particles
+from nbody_tpu.forces import integrate
+
+
+def ref_acc(tgt_pos, tgt_radius, src_pos, src_gm):
+    """Scalar python oracle, transcribed from the shader math
+    (particle_cs.glsl:35-49)."""
+    out = np.zeros_like(tgt_pos)
+    for i in range(len(tgt_pos)):
+        acc = np.zeros(2, dtype=np.float64)
+        for j in range(len(src_pos)):
+            radv = src_pos[j] - tgt_pos[i]
+            dist_sq = float(radv @ radv)
+            r2 = dist_sq + tgt_radius[i]
+            r1 = np.sqrt(r2)
+            r3 = r1 * r2
+            acc += radv * (src_gm[j] / r3)
+        out[i] = acc
+    return out
+
+
+def test_golden_two_body():
+    # One source of mass m at distance d on the x-axis; target radius rho.
+    # a = G*m*d / (d^2 + rho)^{3/2}
+    d, m, rho = 3.0, 7.0, 0.25
+    tgt = np.array([[0.0, 0.0]], np.float32)
+    src = np.array([[d, 0.0]], np.float32)
+    acc = np.asarray(pair_acc(jnp.array(tgt), jnp.array([rho], jnp.float32),
+                              jnp.array(src), jnp.array([G * m], jnp.float32)))
+    expected = G * m * d / (d * d + rho) ** 1.5
+    np.testing.assert_allclose(acc, [[expected, 0.0]], rtol=1e-6)
+
+
+def test_softening_uses_target_radius_linear():
+    # Quirk #1: r2 = dist^2 + target radius (linear, not squared).
+    tgt = np.array([[0.0, 0.0]], np.float32)
+    src = np.array([[1.0, 0.0]], np.float32)
+    gm = np.array([G], np.float32)
+    a_small = np.asarray(pair_acc(jnp.array(tgt), jnp.array([0.1], jnp.float32),
+                                  jnp.array(src), jnp.array(gm)))[0, 0]
+    a_big = np.asarray(pair_acc(jnp.array(tgt), jnp.array([10.0], jnp.float32),
+                                jnp.array(src), jnp.array(gm)))[0, 0]
+    assert a_small == pytest.approx(G / (1.0 + 0.1) ** 1.5, rel=1e-6)
+    assert a_big == pytest.approx(G / (1.0 + 10.0) ** 1.5, rel=1e-6)
+
+
+def test_self_interaction_contributes_zero():
+    # Quirk #4: no i==j special case; radv = 0 makes the term zero.
+    pos = np.array([[1.0, 2.0]], np.float32)
+    acc = np.asarray(pair_acc(jnp.array(pos), jnp.array([0.5], jnp.float32),
+                              jnp.array(pos), jnp.array([123.0], jnp.float32)))
+    np.testing.assert_array_equal(acc, 0.0)
+
+
+def test_zero_mass_sources_contribute_zero():
+    # Quirk #3/#4: zero-gm (massless or padding) sources are inert.
+    rng = np.random.default_rng(0)
+    tgt = rng.normal(size=(8, 2)).astype(np.float32)
+    rad = rng.uniform(0.5, 2.0, 8).astype(np.float32)
+    src = rng.normal(size=(4, 2)).astype(np.float32)
+    gm = np.array([1.0, 0.0, 2.0, 0.0], np.float32)
+    full = np.asarray(direct_sum_acc(jnp.array(tgt), jnp.array(rad), jnp.array(src), jnp.array(gm)))
+    only_massive = np.asarray(direct_sum_acc(jnp.array(tgt), jnp.array(rad),
+                                             jnp.array(src[[0, 2]]), jnp.array(gm[[0, 2]])))
+    np.testing.assert_allclose(full, only_massive, rtol=1e-6)
+
+
+def test_matches_scalar_oracle_random():
+    rng = np.random.default_rng(42)
+    tgt = (100 * rng.normal(size=(32, 2))).astype(np.float32)
+    rad = rng.uniform(0.5, 9.5, 32).astype(np.float32)
+    src = tgt[:20]
+    gm = (G * rng.uniform(10, 1e4, 20)).astype(np.float32)
+    got = np.asarray(direct_sum_acc(jnp.array(tgt), jnp.array(rad), jnp.array(src), jnp.array(gm)))
+    want = ref_acc(tgt.astype(np.float64), rad.astype(np.float64),
+                   src.astype(np.float64), gm.astype(np.float64))
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=1e-5)
+
+
+def test_chunked_equals_dense():
+    rng = np.random.default_rng(1)
+    tgt = rng.normal(size=(64, 2)).astype(np.float32)
+    rad = rng.uniform(0.5, 2.0, 64).astype(np.float32)
+    src = rng.normal(size=(16, 2)).astype(np.float32)
+    gm = rng.uniform(0, 100, 16).astype(np.float32)
+    dense = np.asarray(direct_sum_acc(jnp.array(tgt), jnp.array(rad), jnp.array(src), jnp.array(gm)))
+    chunked = np.asarray(direct_sum_acc(jnp.array(tgt), jnp.array(rad), jnp.array(src),
+                                        jnp.array(gm), chunk=16))
+    # XLA may vectorize the reduction differently per shape: fp32-level only
+    np.testing.assert_allclose(dense, chunked, rtol=1e-4, atol=1e-5)
+
+
+def test_chunk_must_divide():
+    with pytest.raises(ValueError):
+        direct_sum_acc(jnp.zeros((10, 2)), jnp.ones(10), jnp.zeros((4, 2)), jnp.ones(4), chunk=3)
+
+
+def test_precise_vs_fast_close():
+    rng = np.random.default_rng(3)
+    tgt = (100 * rng.normal(size=(16, 2))).astype(np.float32)
+    rad = rng.uniform(0.5, 9.5, 16).astype(np.float32)
+    gm = (G * rng.uniform(10, 1e4, 16)).astype(np.float32)
+    a = np.asarray(pair_acc(jnp.array(tgt), jnp.array(rad), jnp.array(tgt), jnp.array(gm), precise=True))
+    b = np.asarray(pair_acc(jnp.array(tgt), jnp.array(rad), jnp.array(tgt), jnp.array(gm), precise=False))
+    np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
+
+
+def test_acc_from_particles_masks_by_mass_len():
+    p = make_particles(
+        np.array([[0, 0], [1, 0], [2, 0]], np.float32),
+        mass=np.array([5.0, 3.0, 0.0], np.float32),
+        radius=np.array([1.0, 1.0, 0.5], np.float32),
+    )
+    got = np.asarray(acc_from_particles(p.pos, p.radius, p.mass, mass_len=2))
+    want = ref_acc(np.asarray(p.pos, np.float64), np.asarray(p.radius, np.float64),
+                   np.asarray(p.pos[:2], np.float64), G * np.asarray(p.mass[:2], np.float64))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_integrate_is_semi_implicit_euler():
+    # Quirk #2: v += a*dt THEN x += v*dt (velocity first).
+    pos = jnp.array([[1.0, 0.0]])
+    vel = jnp.array([[0.0, 1.0]])
+    acc = jnp.array([[2.0, -1.0]])
+    dt = 0.5
+    new_pos, new_vel = integrate(pos, vel, acc, dt)
+    np.testing.assert_allclose(np.asarray(new_vel), [[1.0, 0.5]])
+    # pos uses the NEW velocity
+    np.testing.assert_allclose(np.asarray(new_pos), [[1.5, 0.25]])

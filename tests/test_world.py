@@ -1,0 +1,164 @@
+"""World API tests: partition, padding, backend parity & switching, substep
+batching semantics (reference world.c / nbody.h behaviors)."""
+
+import numpy as np
+import pytest
+
+from nbody_tpu import World, create_world, make_galaxies, make_particles
+from nbody_tpu import partition_massive_first
+from nbody_tpu.types import SimConfig
+
+TINY = SimConfig(tile_targets=8, tile_sources=128)
+
+
+def random_particles(n, seed=0, massless_frac=0.3):
+    rng = np.random.default_rng(seed)
+    pos = (100 * rng.normal(size=(n, 2))).astype(np.float32)
+    vel = rng.normal(size=(n, 2)).astype(np.float32)
+    massless = rng.uniform(size=n) < massless_frac
+    radius = np.where(massless, 0.5, rng.uniform(1.5, 9.5, n)).astype(np.float32)
+    mass = np.where(massless, 0.0, rng.uniform(10, 1e4, n)).astype(np.float32)
+    return make_particles(pos, vel=vel, mass=mass, radius=radius)
+
+
+# --- partition (reference world.c:33-46; test_particle_sort.c cases) ---
+
+@pytest.mark.parametrize(
+    "masses,expected_len",
+    [
+        ([], 0),
+        ([0.0], 0),
+        ([1.0], 1),
+        ([0.0, 0.0, 0.0], 0),
+        ([1.0, 2.0, 3.0], 3),
+        ([0.0, 1.0, 0.0, 2.0], 2),
+        ([1.0, 0.0, 2.0, 0.0, 3.0], 3),
+        ([0.0, 0.0, 5.0], 1),
+    ],
+)
+def test_partition_massive_first(masses, expected_len):
+    order, mass_len = partition_massive_first(np.array(masses, np.float32))
+    assert mass_len == expected_len
+    sorted_mass = np.array(masses)[order]
+    assert np.all(sorted_mass[:mass_len] > 0)
+    assert np.all(sorted_mass[mass_len:] <= 0)
+    # permutation is a bijection
+    assert sorted(order.tolist()) == list(range(len(masses)))
+
+
+def test_partition_is_stable():
+    order, _ = partition_massive_first(np.array([1.0, 0.0, 2.0, 0.0, 3.0]))
+    assert order.tolist() == [0, 2, 4, 1, 3]
+
+
+# --- world creation ---
+
+def test_world_partitions_and_pads():
+    p = random_particles(37)
+    w = create_world(p, config=TINY)
+    assert w.total_len == 37
+    assert w.n_pad % 8 == 0 and w.n_pad >= max(37, w.src_len)
+    assert w.src_len % 128 == 0
+    host = w.particles
+    assert host.pos.shape == (37, 2)
+    m = np.asarray(host.mass)
+    assert np.all(m[: w.mass_len] > 0)
+    assert np.all(m[w.mass_len:] == 0)
+    # padding rows are inert
+    gm = np.asarray(w.gm)
+    assert np.all(gm[w.mass_len:] == 0)
+
+
+def test_world_preserves_multiset_of_particles():
+    p = random_particles(20, seed=5)
+    w = create_world(p, config=TINY)
+    got = np.sort(np.asarray(w.particles.mass))
+    want = np.sort(np.asarray(p.mass))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_update_zero_steps_is_identity():
+    w = create_world(random_particles(16), config=TINY)
+    before = np.asarray(w.particles.pos).copy()
+    w.update(0.01, 0)
+    np.testing.assert_array_equal(np.asarray(w.particles.pos), before)
+
+
+def test_n_substeps_equals_repeated_single_steps():
+    # Quirk #7: update(dt, n) == n * update(dt, 1), exactly.
+    p = random_particles(24, seed=7)
+    w1 = create_world(p, config=TINY)
+    w2 = create_world(p, config=TINY)
+    w1.update(0.01, 5, backend="jnp")
+    for _ in range(5):
+        w2.update(0.01, 1, backend="jnp")
+    np.testing.assert_array_equal(np.asarray(w1.particles.pos), np.asarray(w2.particles.pos))
+    np.testing.assert_array_equal(np.asarray(w1.particles.vel), np.asarray(w2.particles.vel))
+
+
+def test_backend_parity_jnp_vs_pallas():
+    p = random_particles(40, seed=11)
+    w1 = create_world(p, config=TINY)
+    w2 = create_world(p, config=TINY)
+    w1.update(0.01, 10, backend="jnp")
+    w2.update(0.01, 10, backend="pallas")
+    np.testing.assert_allclose(
+        np.asarray(w1.particles.pos), np.asarray(w2.particles.pos), rtol=2e-4, atol=2e-3
+    )
+
+
+def test_backend_switching_is_seamless():
+    # Quirk #6: alternate backends mid-run; state must stay consistent
+    # (reference TAB switch, main.c:112-116).
+    p = random_particles(24, seed=13)
+    w_mix = create_world(p, config=TINY)
+    w_jnp = create_world(p, config=TINY)
+    for k in range(6):
+        w_mix.update(0.01, 1, backend="jnp" if k % 2 else "pallas")
+        w_jnp.update(0.01, 1, backend="jnp")
+    np.testing.assert_allclose(
+        np.asarray(w_mix.particles.pos), np.asarray(w_jnp.particles.pos), rtol=2e-4, atol=2e-3
+    )
+
+
+def test_massless_particles_move_but_exert_nothing():
+    # Quirk #3: a massless tracer near a massive body accelerates; the massive
+    # body ignores the tracer entirely.
+    p = make_particles(
+        np.array([[0.0, 0.0], [10.0, 0.0]], np.float32),
+        mass=np.array([1000.0, 0.0], np.float32),
+        radius=np.array([2.0, 0.5], np.float32),
+    )
+    w = create_world(p, config=TINY)
+    w.update(0.01, 1, backend="jnp")
+    host = w.particles
+    massive = np.asarray(host.mass) > 0
+    # massive body: only source is itself -> zero acc
+    np.testing.assert_array_equal(np.asarray(host.acc)[massive], 0.0)
+    # tracer: pulled toward the massive body (negative x direction)
+    assert np.asarray(host.acc)[~massive][0, 0] < 0
+
+
+def test_get_particles_fresh_after_each_update():
+    w = create_world(random_particles(16, seed=3), config=TINY)
+    p0 = np.asarray(w.particles.pos).copy()
+    w.update(0.05, 2)
+    p1 = np.asarray(w.particles.pos)
+    assert not np.array_equal(p0, p1)
+
+
+def test_default_backend_heuristic():
+    # GPU (pallas) preferred above N ~ 500 (main.c:55)
+    small = create_world(random_particles(100), config=TINY)
+    assert small.default_backend == "jnp"
+    big = create_world(random_particles(600), config=TINY)
+    assert big.default_backend == "pallas"
+
+
+def test_world_with_galaxy_scene_smoke():
+    p = make_galaxies(300, 2, seed=11037)
+    w = create_world(p, config=TINY)
+    w.update(0.01, 3, backend="jnp")
+    host = w.particles
+    assert np.all(np.isfinite(np.asarray(host.pos)))
+    assert np.all(np.isfinite(np.asarray(host.vel)))
