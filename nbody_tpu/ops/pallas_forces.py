@@ -71,8 +71,8 @@ def pallas_acc(
     src_gm: jax.Array,
     *,
     tile_targets: int = 512,
-    tile_sources: int = 1024,
-    precise: bool = True,
+    tile_sources: int = 2048,
+    precise: bool = False,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Compute accelerations with the tiled Pallas kernel.
