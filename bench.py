@@ -42,10 +42,11 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_world(world: nb.World, backend: str, iters: int = BENCH_ITER) -> float:
+def bench_world(world: nb.World, backend: str, iters: int = BENCH_ITER,
+                warmup: int = WARMUP_ITER) -> float:
     """10 warmup + `iters` timed substeps, fused in single update calls
     (bench.c:25-35). Returns µs per substep."""
-    world.update(UPDATE_STEP, WARMUP_ITER, backend=backend)
+    world.update(UPDATE_STEP, warmup, backend=backend)
     world.block_until_ready()
     t0 = time.perf_counter()
     world.update(UPDATE_STEP, iters, backend=backend)
@@ -86,7 +87,7 @@ def run_ladder(args):
 def run_primary(args) -> dict:
     n = args.n
     w = make_world(n)
-    us = bench_world(w, "pallas", args.iters)
+    us = bench_world(w, "pallas", args.iters, args.warmup)
     pairs = w.total_len * w.mass_len
     rate = pairs / (us / 1e6)
     log(f"primary: N={n} mass_len={w.mass_len} padded={w.n_pad}x{w.src_len} "
@@ -108,6 +109,7 @@ def main():
     ap.add_argument("--gpu", action="store_true", help="ladder: include pallas backend")
     ap.add_argument("--n", type=int, default=65536, help="primary metric particle count")
     ap.add_argument("--iters", type=int, default=BENCH_ITER)
+    ap.add_argument("--warmup", type=int, default=WARMUP_ITER)
     args = ap.parse_args()
     if not args.cpu and not args.gpu:
         args.gpu = True  # default: the flagship backend
