@@ -1,0 +1,135 @@
+"""Command-line application: run / render / view simulations.
+
+The reference's only runtime configuration was bench's --cpu/--gpu; everything
+else required recompiling macros (SURVEY.md §5, reference TODO README.md:98
+"Allow setting simulation parameters through command line arguments"). This
+CLI closes that gap:
+
+  python -m nbody_tpu run    --n 6000 --galaxies 3 --steps 1000 [--traj out.npz]
+  python -m nbody_tpu render --state state.npz --out frame.ppm
+  python -m nbody_tpu gif    --n 6000 --frames 120 --out anim.gif
+  python -m nbody_tpu view   --n 6000            (interactive, needs a GUI)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from . import make_galaxies, create_world
+from .types import SimConfig
+from .render import fit_camera, render_frame, save_ppm
+from .utils.checkpoint import load_particles, save_world
+from .viewer import PHYS_STEP, Viewer, export_animation
+
+
+def _add_scene_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--n", type=int, default=6000, help="particle count (main.c:13)")
+    p.add_argument("--galaxies", type=int, default=3, help="galaxy count (main.c:44)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--state", help="resume from a .npz checkpoint instead of generating")
+    p.add_argument("--backend", choices=["jnp", "pallas"], default=None)
+    p.add_argument("--dt", type=float, default=PHYS_STEP)
+    p.add_argument("--precise", action="store_true",
+                   help="exact sqrt+divide force math (reference shader semantics)")
+
+
+def _make_world(args):
+    if args.state:
+        particles, _ = load_particles(args.state)
+    else:
+        particles = make_galaxies(args.n, args.galaxies, seed=args.seed)
+    config = SimConfig(precise=True) if args.precise else SimConfig()
+    return create_world(particles, config=config, default_backend=args.backend)
+
+
+def cmd_run(args) -> None:
+    w = _make_world(args)
+    print(f"N={w.total_len} massive={w.mass_len} backend={w.default_backend}",
+          file=sys.stderr)
+    t0 = time.perf_counter()
+    if args.traj:
+        from .trajectory import record_trajectory, save_trajectory
+
+        spf = max(1, args.steps // max(1, args.frames))
+        frames = args.steps // spf
+        traj = record_trajectory(w, args.dt, frames, spf, backend=args.backend)
+        save_trajectory(args.traj, traj, dt=np.float32(args.dt),
+                        steps_per_frame=np.int64(spf))
+        print(f"wrote {traj.shape} trajectory to {args.traj}", file=sys.stderr)
+    else:
+        w.update(args.dt, args.steps, backend=args.backend)
+        w.block_until_ready()
+    dt_wall = time.perf_counter() - t0
+    print(f"{args.steps} steps in {dt_wall:.2f}s "
+          f"({args.steps / dt_wall:.1f} steps/s, "
+          f"{w.total_len * w.mass_len * args.steps / dt_wall:.3e} pairs/s)",
+          file=sys.stderr)
+    if args.save:
+        save_world(args.save, w, step=args.steps)
+        print(f"checkpoint -> {args.save}", file=sys.stderr)
+
+
+def cmd_render(args) -> None:
+    particles, _ = load_particles(args.state)
+    cam = fit_camera(np.asarray(particles.pos), args.width, args.height)
+    img = render_frame(particles, cam)
+    save_ppm(args.out, img)
+    print(f"wrote {img.shape} -> {args.out}", file=sys.stderr)
+
+
+def cmd_gif(args) -> None:
+    w = _make_world(args)
+    export_animation(
+        w, args.out, frames=args.frames, steps_per_frame=args.steps_per_frame,
+        dt=args.dt, width=args.width, height=args.height, backend=args.backend,
+    )
+    print(f"wrote {args.frames} frames -> {args.out}", file=sys.stderr)
+
+
+def cmd_view(args) -> None:
+    w = _make_world(args)
+    Viewer(w, phys_step=args.dt).run()
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(prog="nbody_tpu", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("run", help="headless simulation")
+    _add_scene_args(p)
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--save", help="write final state checkpoint (.npz)")
+    p.add_argument("--traj", help="record trajectory to .npz")
+    p.add_argument("--frames", type=int, default=100, help="trajectory frame count")
+    p.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser("render", help="rasterize a saved state to .ppm")
+    p.add_argument("--state", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--width", type=int, default=1280)
+    p.add_argument("--height", type=int, default=720)
+    p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("gif", help="headless animated GIF")
+    _add_scene_args(p)
+    p.add_argument("--out", required=True)
+    p.add_argument("--frames", type=int, default=100)
+    p.add_argument("--steps-per-frame", type=int, default=4)
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--height", type=int, default=360)
+    p.set_defaults(fn=cmd_gif)
+
+    p = sub.add_parser("view", help="interactive viewer (needs GUI backend)")
+    _add_scene_args(p)
+    p.set_defaults(fn=cmd_view)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

