@@ -1,0 +1,73 @@
+"""Debug validation: the TPU analogue of the reference's Vulkan validation
+layers (vulkan_ctx.c:13-47, forced on in debug builds — SURVEY.md §5).
+
+XLA owns memory-hazard correctness; what remains worth guarding is numerical
+health (NaN/Inf from zero-softening corner cases) and state-shape invariants.
+Opt-in, zero cost when unused.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..types import Particles
+
+
+class SimulationDiverged(RuntimeError):
+    pass
+
+
+@jax.jit
+def _health(state: Particles) -> jax.Array:
+    """Single scalar: all-finite over every state leaf (device-side)."""
+    leaves = [state.pos, state.vel, state.acc, state.mass, state.radius]
+    ok = jnp.bool_(True)
+    for leaf in leaves:
+        ok = ok & jnp.isfinite(leaf).all()
+    return ok
+
+
+def check_state(state: Particles, context: str = "") -> None:
+    """Raise SimulationDiverged if any state component is NaN/Inf.
+
+    One device->host scalar transfer; call between update batches in debug
+    runs (mirrors where the reference's validation layer would fire)."""
+    if not bool(_health(state)):
+        where = []
+        host = jax.tree.map(np.asarray, state)
+        for name in ("pos", "vel", "acc", "mass", "radius"):
+            arr = getattr(host, name)
+            bad = ~np.isfinite(arr)
+            if bad.any():
+                where.append(f"{name}: {int(bad.sum())} bad at rows {np.unique(np.nonzero(bad)[0])[:8].tolist()}")
+        ctx = f" ({context})" if context else ""
+        raise SimulationDiverged(f"non-finite simulation state{ctx}: " + "; ".join(where))
+
+
+def validate_world_invariants(world) -> None:
+    """Structural invariants of a World (debug assertion bundle)."""
+    host = world.particles
+    m = np.asarray(host.mass)
+    assert world.total_len == host.pos.shape[0]
+    assert np.all(m[: world.mass_len] > 0), "massive-first partition violated"
+    assert np.all(m[world.mass_len:] <= 0), "massive-first partition violated"
+    gm = np.asarray(world.gm)
+    assert np.all(gm[world.mass_len:] == 0), "gm mask leaks beyond mass_len"
+    assert world.n_pad >= world.src_len >= world.mass_len
+
+
+class CheckedWorld:
+    """Proxy that validates state after every update — the 'debug build'."""
+
+    def __init__(self, world):
+        self._world = world
+
+    def update(self, dt, n=1, backend=None):
+        self._world.update(dt, n, backend=backend)
+        check_state(self._world.state, context=f"after update(dt={dt}, n={n})")
+        return self
+
+    def __getattr__(self, name):
+        return getattr(self._world, name)

@@ -1,0 +1,85 @@
+"""Device-side diagnostics: golden values + conservation over a run."""
+
+import numpy as np
+import pytest
+
+from nbody_tpu import G, create_world, make_galaxies, make_particles
+from nbody_tpu.diagnostics import (
+    center_of_mass,
+    kinetic_energy,
+    potential_energy,
+    summary,
+    total_energy,
+    total_momentum,
+)
+from nbody_tpu.types import SimConfig
+
+TINY = SimConfig(tile_targets=8, tile_sources=128)
+
+
+def two_body():
+    return make_particles(
+        np.array([[0.0, 0.0], [3.0, 4.0]], np.float32),
+        vel=np.array([[1.0, 0.0], [0.0, 2.0]], np.float32),
+        mass=np.array([2.0, 5.0], np.float32),
+        radius=np.array([1.0, 2.0], np.float32),
+    )
+
+
+def test_momentum_and_com_golden():
+    p = two_body()
+    np.testing.assert_allclose(np.asarray(total_momentum(p)), [2.0, 10.0], rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(center_of_mass(p)), [15.0 / 7.0, 20.0 / 7.0], rtol=1e-6
+    )
+
+
+def test_kinetic_golden():
+    p = two_body()
+    # 0.5*(2*1 + 5*4) = 11
+    assert float(kinetic_energy(p)) == pytest.approx(11.0, rel=1e-6)
+
+
+def test_potential_golden():
+    p = two_body()
+    # d^2 = 25; U = -G/2 * [ m0*m1/sqrt(25+r0) + m1*m0/sqrt(25+r1) ]
+    want = -G / 2 * (10.0 / np.sqrt(26.0) + 10.0 / np.sqrt(27.0))
+    got = float(potential_energy(p, mass_len=2, chunk=2))
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_self_term_excluded():
+    p = make_particles(
+        np.zeros((1, 2), np.float32),
+        mass=np.array([7.0], np.float32),
+        radius=np.array([1.0], np.float32),
+    )
+    assert float(potential_energy(p, mass_len=1, chunk=1)) == 0.0
+
+
+def test_tracers_contribute_zero_potential():
+    p = two_body()
+    tr = make_particles(
+        np.array([[10.0, 10.0]], np.float32), mass=np.array([0.0], np.float32),
+        radius=np.array([0.5], np.float32),
+    )
+    from nbody_tpu import concat_particles
+
+    both = concat_particles(p, tr)
+    a = float(potential_energy(p, mass_len=2, chunk=2))
+    b = float(potential_energy(both, mass_len=2, chunk=3))
+    assert a == pytest.approx(b, rel=1e-6)
+
+
+def test_summary_and_conservation_over_run():
+    w = create_world(make_galaxies(200, 1, seed=11), config=TINY)
+    s0 = summary(w)
+    e0 = s0["kinetic_energy"] + s0["potential_energy"]
+    w.update(0.005, 200, backend="jnp")
+    s1 = summary(w)
+    e1 = s1["kinetic_energy"] + s1["potential_energy"]
+    assert abs(e1 - e0) / abs(e0) < 0.05
+    assert s1["n"] == 200 and s1["mass_len"] == w.mass_len
+    # total_energy helper agrees with the sum
+    st = w.state.slice_to(w.total_len)
+    assert float(total_energy(st, w.mass_len)) == pytest.approx(e1, rel=1e-6)
