@@ -22,6 +22,7 @@ from .types import (
 )
 from .forces import acc_from_particles, direct_sum_acc, pair_acc
 from .galaxy import make_galaxies
+from .models.galaxy_device import make_galaxies_device
 from .world import World, create_world, partition_massive_first, update_state
 
 __version__ = "0.1.0"
@@ -41,6 +42,7 @@ __all__ = [
     "direct_sum_acc",
     "pair_acc",
     "make_galaxies",
+    "make_galaxies_device",
     "World",
     "create_world",
     "partition_massive_first",
