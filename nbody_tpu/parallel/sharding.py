@@ -63,6 +63,24 @@ def _local_acc(
     )
 
 
+def _fused_ring_step_shard(
+    pos, vel, radius, gm_src, src_pos0, valid, dt,
+    *, n_devices: int, config: SimConfig,
+):
+    """Fully fused substep: force + ring RDMA + integration in ONE Pallas
+    kernel per device (nbody_tpu.ops.ring_forces). The comm/compute overlap
+    is inside the kernel rather than left to XLA."""
+    from ..ops.ring_forces import ring_substep
+
+    src = jnp.stack([src_pos0[:, 0], src_pos0[:, 1], gm_src], axis=0)
+    return ring_substep(
+        dt, pos, vel, radius, valid, src,
+        axis=AXIS, n_devices=n_devices,
+        tile_t=config.tile_targets, tile_s=config.tile_sources,
+        precise=config.precise,
+    )
+
+
 def _ring_step_shard(
     pos, vel, radius, gm_src, src_pos0, valid, dt,
     *, n_devices: int, config: SimConfig, force_backend: str
@@ -122,7 +140,7 @@ class ShardedWorld:
         mesh: Mesh | None = None,
         *,
         config: SimConfig = DEFAULT_SIM_CONFIG,
-        force_backend: Literal["jnp", "pallas"] | None = None,
+        force_backend: Literal["jnp", "pallas", "pallas_ring"] | None = None,
     ):
         self.mesh = mesh if mesh is not None else make_mesh()
         d = self.mesh.devices.size
@@ -191,10 +209,15 @@ class ShardedWorld:
                 P(AXIS, None), P(AXIS, None), P(AXIS),
                 P(AXIS), P(AXIS, None), P(AXIS, None),
             )
-            step = functools.partial(
-                _ring_step_shard,
-                n_devices=d, config=config, force_backend=force_backend,
-            )
+            if force_backend == "pallas_ring":
+                step = functools.partial(
+                    _fused_ring_step_shard, n_devices=d, config=config,
+                )
+            else:
+                step = functools.partial(
+                    _ring_step_shard,
+                    n_devices=d, config=config, force_backend=force_backend,
+                )
 
             def shard_body(pos, vel, radius, gm_src, src_pos0, valid, dt):
                 return step(pos, vel, radius, gm_src, src_pos0, valid, dt)
