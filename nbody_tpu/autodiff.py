@@ -25,7 +25,8 @@ from .types import G, Particles
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_steps", "mass_len", "precise", "remat", "g")
+    jax.jit,
+    static_argnames=("n_steps", "mass_len", "precise", "remat", "g", "backend"),
 )
 def rollout(
     pos: jax.Array,
@@ -39,15 +40,45 @@ def rollout(
     precise: bool = True,
     remat: bool = True,
     g: float = G,
+    backend: str = "jnp",
 ):
     """Differentiable n_steps-substep rollout. Inputs must be in
     massive-first order (sources = rows [0, mass_len)). Returns final
-    (pos, vel). Differentiable w.r.t. pos, vel, mass, radius, and dt."""
-    gm = g * mass[:mass_len]
+    (pos, vel). Differentiable w.r.t. pos, vel, mass, radius, and dt.
+
+    backend="pallas" runs the forward force through the Pallas kernel with a
+    custom VJP (backward = adjoint of the identical jnp math); inputs are
+    padded internally to the kernel's tile alignment."""
+    n = pos.shape[0]
+    gm_full = g * mass
+
+    if backend == "pallas":
+        from .ops.pallas_forces import SOURCE_ALIGN, make_differentiable_acc
+        from .types import round_up
+
+        s_pad = round_up(max(mass_len, 1), SOURCE_ALIGN)
+        t_pad = round_up(n, 8)
+        acc_fn = make_differentiable_acc(precise=precise)
+
+        def force(p):
+            pp = jnp.pad(p, ((0, t_pad - n), (0, 0)))
+            rr = jnp.pad(radius, (0, t_pad - n), constant_values=1.0)
+            sp = jnp.pad(p, ((0, max(s_pad - n, 0)), (0, 0)))[:s_pad]
+            sg = jnp.pad(
+                jnp.where(jnp.arange(n) < mass_len, gm_full, 0.0),
+                (0, max(s_pad - n, 0)),
+            )[:s_pad]
+            return acc_fn(pp, rr, sp, sg)[:n]
+
+    else:
+        gm = gm_full[:mass_len]
+
+        def force(p):
+            return forces.direct_sum_acc(p, radius, p[:mass_len], gm, precise=precise)
 
     def step(carry, _):
         p, v = carry
-        acc = forces.direct_sum_acc(p, radius, p[:mass_len], gm, precise=precise)
+        acc = force(p)
         v = v + dt * acc
         p = p + dt * v
         return (p, v), None

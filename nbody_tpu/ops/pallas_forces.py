@@ -135,3 +135,44 @@ def pallas_acc(
         interpret=interpret,
     )(tx, ty, tr, sx, sy, sgm)
     return jnp.concatenate([ax, ay], axis=1)
+
+
+@functools.lru_cache(maxsize=None)
+def make_differentiable_acc(
+    tile_targets: int = 512,
+    tile_sources: int = 2048,
+    precise: bool = False,
+    interpret: bool | None = None,
+):
+    """Differentiable wrapper around the Pallas kernel (guide pattern:
+    custom VJP for production kernels).
+
+    Forward = the Pallas kernel. Backward = the VJP of the mathematically
+    identical jnp formulation, recomputed at backward time (only the four
+    input arrays are saved as residuals — O(N) memory, no O(N*S) residuals).
+    This makes jax.grad flow through rollouts that use the fast kernel.
+    """
+    from .. import forces
+
+    def _jnp_equiv(tp, tr, sp, sg):
+        chunk = min(tile_targets, tp.shape[0])
+        return forces.direct_sum_acc(tp, tr, sp, sg, chunk=chunk, precise=precise)
+
+    @jax.custom_vjp
+    def acc(tp, tr, sp, sg):
+        return pallas_acc(
+            tp, tr, sp, sg,
+            tile_targets=tile_targets, tile_sources=tile_sources,
+            precise=precise, interpret=interpret,
+        )
+
+    def fwd(tp, tr, sp, sg):
+        return acc(tp, tr, sp, sg), (tp, tr, sp, sg)
+
+    def bwd(res, g):
+        tp, tr, sp, sg = res
+        _, vjp = jax.vjp(_jnp_equiv, tp, tr, sp, sg)
+        return vjp(g)
+
+    acc.defvjp(fwd, bwd)
+    return acc

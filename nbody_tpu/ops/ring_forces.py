@@ -25,6 +25,16 @@ particle_cs.glsl:14-20).
 
 Correctness is CI-tested in interpreter mode on the virtual CPU mesh; on
 real hardware the RDMA rides ICI (untested here: single-chip environment).
+
+Size limits: all per-particle operands are (T, 1) columns, which Mosaic pads
+to 128 lanes in VMEM — so the whole-shard-resident design only fits small
+local shards (T <= ~1024 with default tiles; validated at call time). That is
+the small-N regime (measured single-chip: parity with the grid kernel within
+run-to-run noise — the ~300µs/substep floor is dominated by per-call rather
+than per-launch overhead); large shards should use the streaming grid kernel
++ XLA-collective ring, which is compute-bound at every size.
+Lifting the limit needs HBM-resident operands with per-tile async_copy into
+1-D VMEM scratch (planned follow-up).
 """
 
 from __future__ import annotations
@@ -52,7 +62,9 @@ def _make_kernel(axis: str, n_devices: int, tile_t: int, tile_s: int,
         s = src_ref.shape[1]
         n_i = t // tile_t
         n_j = s // tile_s
-        me = jax.lax.axis_index(axis)
+        # axis_index is only valid under shard_map; single-device fused mode
+        # (n_devices == 1, axis=None) has no ring at all
+        me = jax.lax.axis_index(axis) if n_devices > 1 else 0
 
         ax_acc[:] = jnp.zeros_like(ax_acc)
         ay_acc[:] = jnp.zeros_like(ay_acc)
@@ -163,7 +175,7 @@ def ring_substep(
     valid,       # (T, 1)
     src,         # (3, S) local source shard rows: x, y, gm
     *,
-    axis: str,
+    axis: str | None,
     n_devices: int,
     tile_t: int = 512,
     tile_s: int = 1024,
@@ -181,8 +193,22 @@ def ring_substep(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
+    # VMEM budget (compiled mode): 14 lane-padded (T,1) buffers + 2x(3,S)
+    # comm + ~3 (tile_t, tile_s) temporaries must fit the 16MB scoped limit.
+    if not interpret:
+        while tile_s > 128 and 3 * tile_t * tile_s * 4 > 4 * 1024 * 1024:
+            tile_s //= 2
+        vmem = 14 * t * 128 * 4 + 2 * 3 * s * 4 + 3 * tile_t * tile_s * 4
+        if vmem > 12 * 1024 * 1024:
+            raise ValueError(
+                f"fused ring kernel local shard too large for VMEM (T={t}, S={s}, "
+                f"~{vmem/2**20:.1f}MB); use the streaming 'pallas'/'jnp' ring "
+                "backends for shards above ~1k particles"
+            )
+
+    use_barrier = n_devices > 1 and not interpret
     kernel = _make_kernel(axis, n_devices, tile_t, tile_s, precise,
-                          use_barrier=not interpret)
+                          use_barrier=use_barrier)
     out = pl.pallas_call(
         kernel,
         in_specs=[
@@ -199,7 +225,10 @@ def ring_substep(
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            has_side_effects=True, collective_id=0,
+            has_side_effects=True,
+            # collective_id pairs with the custom barrier; the compiler
+            # rejects it for barrier-less (single-device) instantiations
+            collective_id=0 if use_barrier else None,
         ),
         interpret=interpret,
     )(

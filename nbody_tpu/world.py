@@ -42,7 +42,7 @@ from .types import (
     round_up,
 )
 
-Backend = Literal["jnp", "pallas"]
+Backend = Literal["jnp", "pallas", "pallas_fused"]
 
 
 def partition_massive_first(mass: np.ndarray) -> tuple[np.ndarray, int]:
@@ -71,6 +71,19 @@ def _step(
     hold automatically since ``state.pos`` is read once, functionally."""
     src_pos = state.pos[:src_len]
     src_gm = gm[:src_len]
+    if backend == "pallas_fused":
+        # whole substep (force + integrate) in ONE kernel launch — minimizes
+        # per-substep overhead at small N (see docs/BENCHMARKS.md)
+        from .ops.ring_forces import ring_substep
+
+        src = jnp.stack([src_pos[:, 0], src_pos[:, 1], src_gm], axis=0)
+        pos, vel, acc = ring_substep(
+            dt, state.pos, state.vel, state.radius, valid, src,
+            axis=None, n_devices=1,
+            tile_t=config.tile_targets, tile_s=config.tile_sources,
+            precise=config.precise, interpret=interpret,
+        )
+        return Particles(pos=pos, vel=vel, acc=acc, mass=state.mass, radius=state.radius)
     if backend == "pallas":
         acc = pallas_acc(
             state.pos,

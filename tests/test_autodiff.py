@@ -83,3 +83,22 @@ def test_shooting_optimization_converges():
         if l0 is None:
             l0 = float(l)
     assert float(l) < 0.02 * l0, f"loss {float(l):.3f} vs initial {l0:.3f}"
+
+
+def test_pallas_backend_rollout_and_grad():
+    """Differentiable rollout through the Pallas kernel (custom VJP)."""
+    pos, vel, mass, radius = sun_and_probe()
+
+    def f(backend, vy):
+        v = jnp.array(vel).at[1, 1].set(vy)
+        p, _ = rollout(jnp.array(pos), v, jnp.array(mass), jnp.array(radius),
+                       jnp.float32(0.01), n_steps=20, mass_len=1,
+                       backend=backend)
+        return jnp.sum(p[1] ** 2)
+
+    # forward parity
+    assert float(f("pallas", 5.0)) == pytest.approx(float(f("jnp", 5.0)), rel=1e-5)
+    # gradient parity (pallas bwd = adjoint of the jnp math)
+    g_pallas = jax.grad(lambda vy: f("pallas", vy))(jnp.float32(5.0))
+    g_jnp = jax.grad(lambda vy: f("jnp", vy))(jnp.float32(5.0))
+    assert float(g_pallas) == pytest.approx(float(g_jnp), rel=1e-4)

@@ -162,3 +162,21 @@ def test_world_with_galaxy_scene_smoke():
     host = w.particles
     assert np.all(np.isfinite(np.asarray(host.pos)))
     assert np.all(np.isfinite(np.asarray(host.vel)))
+
+
+def test_pallas_fused_backend_parity():
+    """Single-kernel fused substep (force+integrate in one launch) matches
+    the standard pallas path."""
+    p = random_particles(40, seed=51)
+    w1 = create_world(p, config=TINY)
+    w2 = create_world(p, config=TINY)
+    w1.update(0.01, 5, backend="pallas")
+    w2.update(0.01, 5, backend="pallas_fused")
+    np.testing.assert_allclose(
+        np.asarray(w1.particles.pos), np.asarray(w2.particles.pos),
+        rtol=2e-4, atol=2e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(w1.particles.acc), np.asarray(w2.particles.acc),
+        rtol=2e-4, atol=2e-3,
+    )
