@@ -60,7 +60,10 @@ class Viewer:
         self.use_gpu = world.default_backend == "pallas"
         self.speed_idx = 0
         self.step_idx = DEF_STEP_IDX
-        self.skipped = 0
+        # fixed-timestep accumulator state (main.c:58-60, 140-163)
+        self.phys_time = 0.0
+        self.skipped_frames = 0
+        self._last_t: float | None = None
 
     def _colors(self, mass: np.ndarray) -> np.ndarray:
         min_core = DEFAULT_GALAXY_CONFIG.min_gc_mass
@@ -74,8 +77,13 @@ class Viewer:
         k = (event.key or "").lower()
         if k == " ":
             self.pause = not self.pause
+            # pausing resets the accumulator (main.c:129-137)
+            self.phys_time = 0.0
+            self.skipped_frames = 0
         elif k == "tab":
             self.use_gpu = not self.use_gpu
+            self.phys_time = 0.0
+            self.skipped_frames = 0
         elif k == "left" and self.speed_idx > 0:
             self.speed_idx -= 1
         elif k == "right" and self.speed_idx < len(SPEEDS) - 1:
@@ -87,10 +95,37 @@ class Viewer:
         elif k == "a":
             self.overlay = not self.overlay
 
-    def advance(self) -> None:
+    def advance(self, frame_time: float | None = None) -> None:
+        """Advance the sim by the accumulator rule (main.c:140-163): bank
+        speed*frame_time seconds, run floor(banked/PHYS_STEP) substeps of
+        size PHYS_STEP*step_mult, capped at MAX_OVERWORK*speed (excess
+        time dropped and counted as skipped frames)."""
         if self.pause:
             return
-        updates = SPEEDS[self.speed_idx]
+        import time as _time
+
+        now = _time.perf_counter()
+        if frame_time is None:
+            frame_time = 0.0 if self._last_t is None else now - self._last_t
+        self._last_t = now
+
+        speed = SPEEDS[self.speed_idx]
+        if frame_time == 0.0:
+            # first frame / headless tests: run one tick's worth
+            self.phys_time += speed * self.phys_step
+        else:
+            self.phys_time += speed * frame_time
+        max_overwork = speed * self.phys_step * MAX_OVERWORK
+        if self.phys_time > max_overwork:
+            self.phys_time = max_overwork
+            self.skipped_frames += 1
+        else:
+            self.skipped_frames = 0
+
+        updates = int(self.phys_time // self.phys_step)
+        self.phys_time -= updates * self.phys_step
+        if updates == 0:
+            return
         step = self.phys_step * STEPS[self.step_idx]
         backend = "pallas" if self.use_gpu else "jnp"
         self.world.update(step, updates, backend=backend)
@@ -121,9 +156,11 @@ class Viewer:
             if self.overlay:
                 mode = "pallas (TPU)" if self.use_gpu else "jnp"
                 state = " (paused)" if self.pause else ""
+                warn = "\nSKIPPING FRAMES" if self.skipped_frames > MAX_OVERWORK else ""
                 text.set_text(
                     f"{mode} simulation{state}\n"
                     f"step x{STEPS[self.step_idx]:.2f}  speed x{SPEEDS[self.speed_idx]}"
+                    f"{warn}"
                 )
             else:
                 text.set_text("")

@@ -72,3 +72,32 @@ def test_export_animation_npz(tmp_path):
     with np.load(path) as d:
         assert d["frames"].shape == (3, 48, 64, 3)
         assert d["frames"].dtype == np.uint8
+
+
+def test_accumulator_frame_skip_guard():
+    """main.c:140-163: banked time is capped at MAX_OVERWORK*speed ticks and
+    the skip counter increments while saturated, resets when caught up."""
+    from nbody_tpu.viewer import MAX_OVERWORK, PHYS_STEP
+
+    v = make_viewer()
+    v.speed_idx = 0  # speed 1
+    # a catastrophic 10-second frame: accumulator clamps to MAX_OVERWORK ticks
+    v.advance(frame_time=10.0)
+    assert v.skipped_frames == 1
+    # clamped bank means at most MAX_OVERWORK updates ran; afterwards the
+    # leftover is < PHYS_STEP
+    assert 0.0 <= v.phys_time < PHYS_STEP
+    # healthy frames reset the counter
+    v.advance(frame_time=PHYS_STEP)
+    assert v.skipped_frames == 0
+
+
+def test_accumulator_banks_fractional_frames():
+    from nbody_tpu.viewer import PHYS_STEP
+
+    v = make_viewer()
+    p0 = np.asarray(v.world.particles.pos).copy()
+    v.advance(frame_time=0.4 * PHYS_STEP)  # not enough for a tick
+    np.testing.assert_array_equal(np.asarray(v.world.particles.pos), p0)
+    v.advance(frame_time=0.7 * PHYS_STEP)  # 1.1 ticks banked -> 1 update
+    assert not np.array_equal(np.asarray(v.world.particles.pos), p0)
