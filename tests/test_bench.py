@@ -1,0 +1,48 @@
+"""Bench protocol unit tests (CPU, tiny N): JSON contract and measurement
+plumbing — keeps bench.py from rotting between hardware runs."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+import bench
+
+
+def test_bench_world_returns_us():
+    w = bench.make_world(250)
+    us = bench.bench_world(w, "jnp", iters=3, warmup=1)
+    assert us > 0
+
+
+def test_primary_json_contract(capsys):
+    class Args:
+        n = 250
+        iters = 2
+        warmup = 1
+        repeats = 1
+        backend = "jnp"
+
+    result = bench.run_primary(Args())
+    assert set(result) == {"metric", "value", "unit", "vs_baseline"}
+    assert result["unit"] == "pairs/s"
+    assert result["value"] > 0
+    assert result["vs_baseline"] == result["value"] / 1e11
+    json.dumps(result)  # serializable
+
+
+def test_cli_emits_single_json_line():
+    out = subprocess.run(
+        [sys.executable, "bench.py", "--n", "250", "--iters", "2",
+         "--warmup", "1", "--repeats", "1", "--backend", "jnp"],
+        capture_output=True, text=True, timeout=300,
+        env={"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin"},
+        cwd=".",
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    lines = [l for l in out.stdout.strip().splitlines() if l.strip()]
+    assert len(lines) == 1
+    parsed = json.loads(lines[0])
+    assert parsed["unit"] == "pairs/s"
