@@ -6,35 +6,32 @@ overlaps the collective with compute, but each hop is a separate kernel
 launch with an XLA-scheduled dependency. This module fuses the ENTIRE
 substep for one device into a single Pallas kernel:
 
-  * the local target shard (positions/velocities/radii) lives in VMEM for
-    the whole substep;
-  * the visiting source tile (x, y, G*mass rows) sits in a double-buffered
-    VMEM scratch; while hop k's tile is being consumed by the tiled O(T*S)
-    force loops, hop k+1's tile is already in flight to the right neighbor
-    via ``make_async_remote_copy`` over ICI (the guide's ring-collective
-    pattern);
-  * after the last hop the kernel integrates (semi-implicit Euler) and
-    writes the new state — one kernel launch per device per substep, zero
-    XLA glue in the loop.
+  * per-particle state arrives as dense (1, T) fp32 rows in compiler-chosen
+    memory (HBM for large shards); the kernel streams (1, tile_t) slices into
+    VMEM with ``make_async_copy`` — no whole-shard VMEM residency, so local
+    shards of any size fit (v1 of this kernel kept (T,1) columns VMEM-resident,
+    which lane-pads 128x and capped shards at ~1k particles);
+  * the visiting source tile (x, y, G*mass rows, shape (3, S)) sits in a
+    double-buffered VMEM scratch; while hop k's tile feeds the tiled O(T*S)
+    force loops, it is simultaneously in flight to the right neighbor via
+    ``make_async_remote_copy`` over ICI (the ring-collective pattern);
+  * accelerations accumulate across hops in a dense (n_i, tile_t) VMEM
+    scratch (one row per target tile — no lane padding);
+  * after the last hop an integration pass applies semi-implicit Euler
+    (particle_cs.glsl:51-52) with validity masking and DMA-writes the new
+    state — one kernel launch per device per substep, zero XLA glue.
 
 Jacobi semantics hold because outputs are separate buffers: every device
-reads only pre-step positions (its own targets from the input operand, the
+reads only pre-step positions (its own targets from the input operands, the
 sources from the rotating snapshot taken at substep start) — the TPU
 analogue of the reference's old/new double buffering (sim_gpu.c:19,
 particle_cs.glsl:14-20).
 
 Correctness is CI-tested in interpreter mode on the virtual CPU mesh; on
-real hardware the RDMA rides ICI (untested here: single-chip environment).
-
-Size limits: all per-particle operands are (T, 1) columns, which Mosaic pads
-to 128 lanes in VMEM — so the whole-shard-resident design only fits small
-local shards (T <= ~1024 with default tiles; validated at call time). That is
-the small-N regime (measured single-chip: parity with the grid kernel within
-run-to-run noise — the ~300µs/substep floor is dominated by per-call rather
-than per-launch overhead); large shards should use the streaming grid kernel
-+ XLA-collective ring, which is compute-bound at every size.
-Lifting the limit needs HBM-resident operands with per-tile async_copy into
-1-D VMEM scratch (planned follow-up).
+real hardware the RDMA rides ICI (single-chip environment here, so
+multi-chip perf is unmeasured). Single-device instantiation (n_devices=1,
+axis=None) doubles as a fused single-launch substep for the World backend
+"pallas_fused".
 """
 
 from __future__ import annotations
@@ -49,31 +46,26 @@ from jax.experimental.pallas import tpu as pltpu
 from ..types import DTYPE
 
 
-def _make_kernel(axis: str, n_devices: int, tile_t: int, tile_s: int,
-                 precise: bool, use_barrier: bool):
+def _make_kernel(axis: str | None, n_devices: int, n_i: int, n_j: int,
+                 tile_t: int, tile_s: int, precise: bool, use_barrier: bool):
     def kernel(
-        dt_ref,  # (1,1) SMEM
-        px_ref, py_ref, rr_ref, vx_ref, vy_ref, valid_ref,  # (T,1) VMEM
-        src_ref,  # (3, S) VMEM: rows x, y, gm — this device's source shard
-        npx_ref, npy_ref, nvx_ref, nvy_ref, nax_ref, nay_ref,  # (T,1) out
-        comm, ax_acc, ay_acc, send_sem, recv_sem,  # scratch
+        dt_ref,                                              # (1,1) SMEM
+        px_ref, py_ref, rr_ref, vx_ref, vy_ref, valid_ref,   # (1,T) ANY
+        src_ref,                                             # (3,S) VMEM
+        npx_ref, npy_ref, nvx_ref, nvy_ref, nax_ref, nay_ref,  # (1,T) ANY
+        comm, accx, accy,                                    # VMEM scratch
+        tbx, tby, tbr, ivx, ivy, ivd,                        # (1,tile_t) bufs
+        sox, soy, svx, svy, sax, say,                        # (1,tile_t) out stage
+        copy_sem, send_sem, recv_sem,                        # DMA semaphores
     ):
-        t = px_ref.shape[0]
-        s = src_ref.shape[1]
-        n_i = t // tile_t
-        n_j = s // tile_s
-        # axis_index is only valid under shard_map; single-device fused mode
-        # (n_devices == 1, axis=None) has no ring at all
         me = jax.lax.axis_index(axis) if n_devices > 1 else 0
 
-        ax_acc[:] = jnp.zeros_like(ax_acc)
-        ay_acc[:] = jnp.zeros_like(ay_acc)
         comm[0] = src_ref[:]
+        accx[:] = jnp.zeros_like(accx)
+        accy[:] = jnp.zeros_like(accy)
 
-        if n_devices > 1 and use_barrier:
-            # neighbor barrier: don't RDMA into a peer that hasn't entered
-            # the kernel (and allocated its comm buffers) yet. (Unsupported
-            # by the interpreter, where lockstep semantics make it moot.)
+        if use_barrier:
+            # don't RDMA into a peer that hasn't entered the kernel yet
             barrier = pltpu.get_barrier_semaphore()
             left = jax.lax.rem(me + n_devices - 1, n_devices)
             right = jax.lax.rem(me + 1, n_devices)
@@ -83,32 +75,17 @@ def _make_kernel(axis: str, n_devices: int, tile_t: int, tile_s: int,
                                    device_id_type=pltpu.DeviceIdType.LOGICAL)
             pltpu.semaphore_wait(barrier, 2)
 
-        def compute_tile(i, hop_slot):
-            tx = px_ref[pl.ds(i * tile_t, tile_t), :]
-            ty = py_ref[pl.ds(i * tile_t, tile_t), :]
-            tr = rr_ref[pl.ds(i * tile_t, tile_t), :]
-
-            def j_body(j, carry):
-                ax, ay = carry
-                sx = comm[hop_slot, 0:1, pl.ds(j * tile_s, tile_s)]
-                sy = comm[hop_slot, 1:2, pl.ds(j * tile_s, tile_s)]
-                gm = comm[hop_slot, 2:3, pl.ds(j * tile_s, tile_s)]
-                dx = sx - tx
-                dy = sy - ty
-                r2 = dx * dx + dy * dy + tr
-                if precise:
-                    f = gm / (jnp.sqrt(r2) * r2)
-                else:
-                    inv = jax.lax.rsqrt(r2)
-                    f = gm * (inv * inv * inv)
-                ax = ax + jnp.sum(dx * f, axis=1, keepdims=True)
-                ay = ay + jnp.sum(dy * f, axis=1, keepdims=True)
-                return ax, ay
-
-            zero = jnp.zeros((tile_t, 1), DTYPE)
-            ax, ay = jax.lax.fori_loop(0, n_j, j_body, (zero, zero))
-            ax_acc[pl.ds(i * tile_t, tile_t), :] += ax
-            ay_acc[pl.ds(i * tile_t, tile_t), :] += ay
+        def load_tile(i, refs_bufs_sems):
+            dmas = [
+                pltpu.make_async_copy(
+                    ref.at[:, pl.ds(i * tile_t, tile_t)], buf, copy_sem.at[k]
+                )
+                for k, (ref, buf) in enumerate(refs_bufs_sems)
+            ]
+            for d in dmas:
+                d.start()
+            for d in dmas:
+                d.wait()
 
         def hop_body(hop, _):
             slot = jax.lax.rem(hop, 2)
@@ -117,29 +94,50 @@ def _make_kernel(axis: str, n_devices: int, tile_t: int, tile_s: int,
             if n_devices > 1:
                 @pl.when(hop < n_devices - 1)
                 def _():
-                    # start shipping the current tile to the right neighbor
-                    rdma = pltpu.make_async_remote_copy(
-                        src_ref=comm.at[slot],
-                        dst_ref=comm.at[nxt],
-                        send_sem=send_sem.at[slot],
-                        recv_sem=recv_sem.at[nxt],
+                    pltpu.make_async_remote_copy(
+                        src_ref=comm.at[slot], dst_ref=comm.at[nxt],
+                        send_sem=send_sem.at[slot], recv_sem=recv_sem.at[nxt],
                         device_id=jax.lax.rem(me + 1, n_devices),
                         device_id_type=pltpu.DeviceIdType.LOGICAL,
-                    )
-                    rdma.start()
+                    ).start()
 
-            # force tiles against the resident source tile (overlaps the RDMA)
-            jax.lax.fori_loop(0, n_i, lambda i, _: (compute_tile(i, slot), 0)[1], 0)
+            def i_body(i, _):
+                load_tile(i, [(px_ref, tbx), (py_ref, tby), (rr_ref, tbr)])
+                tx = jnp.transpose(tbx[:])  # (tile_t, 1)
+                ty = jnp.transpose(tby[:])
+                tr = jnp.transpose(tbr[:])
+
+                def j_body(j, carry):
+                    ax, ay = carry
+                    sx = comm[slot, 0:1, pl.ds(j * tile_s, tile_s)]
+                    sy = comm[slot, 1:2, pl.ds(j * tile_s, tile_s)]
+                    gm = comm[slot, 2:3, pl.ds(j * tile_s, tile_s)]
+                    dx = sx - tx
+                    dy = sy - ty
+                    r2 = dx * dx + dy * dy + tr
+                    if precise:
+                        f = gm / (jnp.sqrt(r2) * r2)
+                    else:
+                        inv = jax.lax.rsqrt(r2)
+                        f = gm * (inv * inv * inv)
+                    ax = ax + jnp.sum(dx * f, axis=1, keepdims=True)
+                    ay = ay + jnp.sum(dy * f, axis=1, keepdims=True)
+                    return ax, ay
+
+                zero = jnp.zeros((tile_t, 1), DTYPE)
+                ax, ay = jax.lax.fori_loop(0, n_j, j_body, (zero, zero))
+                accx[pl.ds(i, 1), :] += jnp.transpose(ax)
+                accy[pl.ds(i, 1), :] += jnp.transpose(ay)
+                return 0
+
+            jax.lax.fori_loop(0, n_i, i_body, 0)
 
             if n_devices > 1:
                 @pl.when(hop < n_devices - 1)
                 def _():
-                    # wait for both ends of this hop's transfer
                     pltpu.make_async_remote_copy(
-                        src_ref=comm.at[slot],
-                        dst_ref=comm.at[nxt],
-                        send_sem=send_sem.at[slot],
-                        recv_sem=recv_sem.at[nxt],
+                        src_ref=comm.at[slot], dst_ref=comm.at[nxt],
+                        send_sem=send_sem.at[slot], recv_sem=recv_sem.at[nxt],
                         device_id=jax.lax.rem(me + 1, n_devices),
                         device_id_type=pltpu.DeviceIdType.LOGICAL,
                     ).wait()
@@ -147,18 +145,38 @@ def _make_kernel(axis: str, n_devices: int, tile_t: int, tile_s: int,
 
         jax.lax.fori_loop(0, n_devices, hop_body, 0)
 
-        # integrate (particle_cs.glsl:51-52 semantics), masking padding rows
+        # --- integration pass (v += a*dt; x += v*dt), padding rows masked ---
         dt = dt_ref[0, 0]
-        ax = ax_acc[:] * valid_ref[:]
-        ay = ay_acc[:] * valid_ref[:]
-        nvx = vx_ref[:] + dt * ax
-        nvy = vy_ref[:] + dt * ay
-        nax_ref[:] = ax
-        nay_ref[:] = ay
-        nvx_ref[:] = nvx
-        nvy_ref[:] = nvy
-        npx_ref[:] = px_ref[:] + dt * nvx
-        npy_ref[:] = py_ref[:] + dt * nvy
+
+        def int_body(i, _):
+            load_tile(i, [(px_ref, tbx), (py_ref, tby), (vx_ref, ivx),
+                          (vy_ref, ivy), (valid_ref, ivd)])
+            ax = accx[pl.ds(i, 1), :] * ivd[:]
+            ay = accy[pl.ds(i, 1), :] * ivd[:]
+            nvx = ivx[:] + dt * ax
+            nvy = ivy[:] + dt * ay
+            sax[:] = ax
+            say[:] = ay
+            svx[:] = nvx
+            svy[:] = nvy
+            sox[:] = tbx[:] + dt * nvx
+            soy[:] = tby[:] + dt * nvy
+            outs = [
+                pltpu.make_async_copy(
+                    buf, ref.at[:, pl.ds(i * tile_t, tile_t)], copy_sem.at[k]
+                )
+                for k, (buf, ref) in enumerate([
+                    (sox, npx_ref), (soy, npy_ref), (svx, nvx_ref),
+                    (svy, nvy_ref), (sax, nax_ref), (say, nay_ref),
+                ])
+            ]
+            for d in outs:
+                d.start()
+            for d in outs:
+                d.wait()
+            return 0
+
+        jax.lax.fori_loop(0, n_i, int_body, 0)
 
     return kernel
 
@@ -182,45 +200,45 @@ def ring_substep(
     precise: bool = False,
     interpret: bool | None = None,
 ):
-    """One fused substep for this device (call inside shard_map). Returns
+    """One fused substep for this device (call inside shard_map; or with
+    n_devices=1 / axis=None as a single-chip fused step). Returns
     (new_pos, new_vel, new_acc) for the local target shard."""
     t = pos.shape[0]
     s = src.shape[1]
     tile_t = min(tile_t, t)
     tile_s = min(tile_s, s)
+    # keep the (tile_t, tile_s) block temporaries within ~6MB of VMEM
+    while tile_s > 128 and 3 * tile_t * tile_s * 4 > 6 * 1024 * 1024:
+        tile_s //= 2
     if t % tile_t or s % tile_s:
         raise ValueError(f"local shapes T={t}, S={s} must tile by ({tile_t},{tile_s})")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-
-    # VMEM budget (compiled mode): 14 lane-padded (T,1) buffers + 2x(3,S)
-    # comm + ~3 (tile_t, tile_s) temporaries must fit the 16MB scoped limit.
-    if not interpret:
-        while tile_s > 128 and 3 * tile_t * tile_s * 4 > 4 * 1024 * 1024:
-            tile_s //= 2
-        vmem = 14 * t * 128 * 4 + 2 * 3 * s * 4 + 3 * tile_t * tile_s * 4
-        if vmem > 12 * 1024 * 1024:
-            raise ValueError(
-                f"fused ring kernel local shard too large for VMEM (T={t}, S={s}, "
-                f"~{vmem/2**20:.1f}MB); use the streaming 'pallas'/'jnp' ring "
-                "backends for shards above ~1k particles"
-            )
-
     use_barrier = n_devices > 1 and not interpret
-    kernel = _make_kernel(axis, n_devices, tile_t, tile_s, precise,
-                          use_barrier=use_barrier)
+
+    n_i = t // tile_t
+    n_j = s // tile_s
+    kernel = _make_kernel(axis, n_devices, n_i, n_j, tile_t, tile_s, precise,
+                          use_barrier)
+
+    row = lambda a: a.reshape(1, t)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    tile_buf = lambda: pltpu.VMEM((1, tile_t), DTYPE)
     out = pl.pallas_call(
         kernel,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            *[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+            *[any_spec] * 6,
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
-        out_shape=[jax.ShapeDtypeStruct((t, 1), DTYPE)] * 6,
+        out_specs=[any_spec] * 6,
+        out_shape=[jax.ShapeDtypeStruct((1, t), DTYPE)] * 6,
         scratch_shapes=[
-            pltpu.VMEM((2, 3, s), DTYPE),     # double-buffered source tile
-            pltpu.VMEM((t, 1), DTYPE),        # ax accumulator
-            pltpu.VMEM((t, 1), DTYPE),        # ay accumulator
+            pltpu.VMEM((2, 3, s), DTYPE),        # double-buffered source tile
+            pltpu.VMEM((n_i, tile_t), DTYPE),    # ax accumulator (dense)
+            pltpu.VMEM((n_i, tile_t), DTYPE),    # ay accumulator (dense)
+            *[tile_buf() for _ in range(12)],    # target/integration/out bufs
+            pltpu.SemaphoreType.DMA((6,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -233,12 +251,12 @@ def ring_substep(
         interpret=interpret,
     )(
         jnp.asarray(dt, DTYPE).reshape(1, 1),
-        pos[:, 0:1], pos[:, 1:2], radius[:, None],
-        vel[:, 0:1], vel[:, 1:2], valid,
+        row(pos[:, 0]), row(pos[:, 1]), row(radius),
+        row(vel[:, 0]), row(vel[:, 1]), row(valid[:, 0]),
         src,
     )
     npx, npy, nvx, nvy, nax, nay = out
-    new_pos = jnp.concatenate([npx, npy], axis=1)
-    new_vel = jnp.concatenate([nvx, nvy], axis=1)
-    new_acc = jnp.concatenate([nax, nay], axis=1)
+    new_pos = jnp.stack([npx[0], npy[0]], axis=1)
+    new_vel = jnp.stack([nvx[0], nvy[0]], axis=1)
+    new_acc = jnp.stack([nax[0], nay[0]], axis=1)
     return new_pos, new_vel, new_acc
