@@ -199,8 +199,11 @@ class World:
         self.valid = jnp.asarray((idx < n).astype(np.float32)[:, None])
 
         if default_backend is None:
-            # Reference heuristic: GPU worthwhile above N ~ 500 (main.c:55).
-            default_backend = "pallas" if n > 500 else "jnp"
+            # Measured crossover on TPU v5e (docs/BENCHMARKS.md): XLA's fused
+            # jnp path wins below ~32k (lower launch overhead), the Pallas
+            # grid kernel at large N. (The reference's analogous heuristic:
+            # GPU above N ~ 500, main.c:55.)
+            default_backend = "pallas" if n >= 32768 else "jnp"
         self.default_backend: Backend = default_backend
         self._host_cache: Particles | None = None
 

@@ -148,10 +148,10 @@ def test_get_particles_fresh_after_each_update():
 
 
 def test_default_backend_heuristic():
-    # GPU (pallas) preferred above N ~ 500 (main.c:55)
-    small = create_world(random_particles(100), config=TINY)
+    # measured crossover: jnp below ~32k, pallas above (docs/BENCHMARKS.md)
+    small = create_world(random_particles(600), config=TINY)
     assert small.default_backend == "jnp"
-    big = create_world(random_particles(600), config=TINY)
+    big = create_world(random_particles(40000), config=TINY)
     assert big.default_backend == "pallas"
 
 
