@@ -1,0 +1,19 @@
+# Developer conveniences. The package itself needs no build step.
+
+.PHONY: test bench ladder oracle clean
+
+test:
+	python -m pytest tests/ -q
+
+bench:
+	python bench.py
+
+ladder:
+	python bench.py --ladder --extra --cpu --gpu
+
+oracle:
+	$(MAKE) -C cpp
+
+clean:
+	$(MAKE) -C cpp clean
+	find . -name __pycache__ -type d -exec rm -rf {} + 2>/dev/null || true

@@ -23,8 +23,6 @@ import sys
 import time
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 
 import nbody_tpu as nb
 

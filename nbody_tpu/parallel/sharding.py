@@ -31,7 +31,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import forces
 from ..ops.pallas_forces import SOURCE_ALIGN, pallas_acc
-from ..types import DTYPE, Particles, SimConfig, DEFAULT_SIM_CONFIG, round_up
+from ..types import Particles, SimConfig, DEFAULT_SIM_CONFIG, round_up
 from ..world import partition_massive_first
 
 AXIS = "shard"
@@ -254,6 +254,13 @@ class ShardedWorld:
         )
         self._host_cache = None
         return self
+
+    @property
+    def state(self) -> Particles:
+        """Padded device state as a Particles pytree (sharded arrays) — the
+        same view World exposes, so diagnostics/checks work on both."""
+        return Particles(pos=self.pos, vel=self.vel, acc=self.acc,
+                         mass=self.mass, radius=self.radius)
 
     @property
     def particles(self) -> Particles:

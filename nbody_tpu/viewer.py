@@ -186,8 +186,6 @@ def export_animation(
 ) -> None:
     """Headless animation: simulate on device, rasterize on device, write an
     animated GIF (PIL). `path` ending in .npz saves raw uint8 frames instead."""
-    from .trajectory import record_trajectory  # noqa: F401 (device scan path)
-
     if camera is None:
         camera = fit_camera(np.asarray(world.particles.pos), width, height)
     images = []

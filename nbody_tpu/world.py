@@ -36,7 +36,6 @@ from . import forces
 from .ops.pallas_forces import SOURCE_ALIGN, pallas_acc
 from .types import (
     DEFAULT_SIM_CONFIG,
-    DTYPE,
     Particles,
     SimConfig,
     round_up,

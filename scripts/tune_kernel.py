@@ -10,8 +10,6 @@ import sys
 import time
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 
 sys.path.insert(0, ".")
 import nbody_tpu as nb

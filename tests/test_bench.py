@@ -5,8 +5,6 @@ import json
 import subprocess
 import sys
 
-import numpy as np
-
 sys.path.insert(0, ".")
 import bench
 

@@ -2,7 +2,6 @@
 round-trip, zero-radius softening corner."""
 
 import numpy as np
-import pytest
 
 from nbody_tpu import create_world, make_galaxies, make_particles, zeros_particles
 from nbody_tpu.parallel.sharding import ShardedWorld, make_mesh

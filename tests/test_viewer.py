@@ -4,7 +4,6 @@ headless animation export — no GUI needed."""
 import types
 
 import numpy as np
-import pytest
 
 from nbody_tpu import create_world, make_galaxies
 from nbody_tpu.types import SimConfig
@@ -77,7 +76,7 @@ def test_export_animation_npz(tmp_path):
 def test_accumulator_frame_skip_guard():
     """main.c:140-163: banked time is capped at MAX_OVERWORK*speed ticks and
     the skip counter increments while saturated, resets when caught up."""
-    from nbody_tpu.viewer import MAX_OVERWORK, PHYS_STEP
+    from nbody_tpu.viewer import PHYS_STEP
 
     v = make_viewer()
     v.speed_idx = 0  # speed 1

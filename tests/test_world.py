@@ -4,7 +4,7 @@ batching semantics (reference world.c / nbody.h behaviors)."""
 import numpy as np
 import pytest
 
-from nbody_tpu import World, create_world, make_galaxies, make_particles
+from nbody_tpu import create_world, make_galaxies, make_particles
 from nbody_tpu import partition_massive_first
 from nbody_tpu.types import SimConfig
 
