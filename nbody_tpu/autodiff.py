@@ -56,9 +56,14 @@ def rollout(
         from .ops.pallas_forces import SOURCE_ALIGN, make_differentiable_acc
         from .types import round_up
 
+        tile_t, tile_s = 512, 2048
         s_pad = round_up(max(mass_len, 1), SOURCE_ALIGN)
+        if s_pad > tile_s:
+            s_pad = round_up(s_pad, tile_s)
         t_pad = round_up(n, 8)
-        acc_fn = make_differentiable_acc(precise=precise)
+        if t_pad > tile_t:
+            t_pad = round_up(t_pad, tile_t)
+        acc_fn = make_differentiable_acc(tile_t, tile_s, precise=precise)
 
         def force(p):
             pp = jnp.pad(p, ((0, t_pad - n), (0, 0)))

@@ -102,3 +102,18 @@ def test_pallas_backend_rollout_and_grad():
     g_pallas = jax.grad(lambda vy: f("pallas", vy))(jnp.float32(5.0))
     g_jnp = jax.grad(lambda vy: f("jnp", vy))(jnp.float32(5.0))
     assert float(g_pallas) == pytest.approx(float(g_jnp), rel=1e-4)
+
+
+def test_pallas_rollout_nonaligned_n():
+    """Regression: N not a multiple of the kernel tile must pad correctly."""
+    rng = np.random.default_rng(0)
+    n = 600  # > 512 and not a tile multiple
+    pos = (100 * rng.normal(size=(n, 2))).astype(np.float32)
+    vel = rng.normal(size=(n, 2)).astype(np.float32)
+    mass = np.concatenate([rng.uniform(10, 100, 300), np.zeros(300)]).astype(np.float32)
+    radius = np.full(n, 1.0, np.float32)
+    pa, _ = rollout(jnp.array(pos), jnp.array(vel), jnp.array(mass), jnp.array(radius),
+                    jnp.float32(0.01), n_steps=3, mass_len=300, backend="pallas")
+    pj, _ = rollout(jnp.array(pos), jnp.array(vel), jnp.array(mass), jnp.array(radius),
+                    jnp.float32(0.01), n_steps=3, mass_len=300, backend="jnp")
+    np.testing.assert_allclose(np.asarray(pa), np.asarray(pj), rtol=1e-4, atol=1e-3)
