@@ -53,16 +53,13 @@ def rollout(
     gm_full = g * mass
 
     if backend == "pallas":
-        from .ops.pallas_forces import SOURCE_ALIGN, make_differentiable_acc
-        from .types import round_up
+        from .ops.pallas_forces import SOURCE_ALIGN, TARGET_ALIGN, make_differentiable_acc
+        from .types import DEFAULT_SIM_CONFIG, pad_to_tiles
 
-        tile_t, tile_s = 512, 2048
-        s_pad = round_up(max(mass_len, 1), SOURCE_ALIGN)
-        if s_pad > tile_s:
-            s_pad = round_up(s_pad, tile_s)
-        t_pad = round_up(n, 8)
-        if t_pad > tile_t:
-            t_pad = round_up(t_pad, tile_t)
+        tile_t = DEFAULT_SIM_CONFIG.tile_targets
+        tile_s = DEFAULT_SIM_CONFIG.tile_sources
+        s_pad = pad_to_tiles(mass_len, SOURCE_ALIGN, tile_s)
+        t_pad = pad_to_tiles(n, TARGET_ALIGN, tile_t)
         acc_fn = make_differentiable_acc(tile_t, tile_s, precise=precise)
 
         def force(p):

@@ -172,3 +172,13 @@ DEFAULT_SIM_CONFIG = SimConfig()
 
 def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def pad_to_tiles(n: int, align: int, tile: int) -> int:
+    """Pad a length to the Pallas kernel's divisibility rule: a multiple of
+    ``align`` when it fits in one tile, else a multiple of ``tile`` (the
+    kernel uses an effective tile of min(tile, n))."""
+    n = round_up(max(n, 1), align)
+    if n > tile:
+        n = round_up(n, tile)
+    return n

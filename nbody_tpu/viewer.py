@@ -57,7 +57,12 @@ class Viewer:
         self.phys_step = phys_step
         self.pause = False
         self.overlay = True
-        self.use_gpu = world.default_backend == "pallas"
+        # TAB toggles jnp <-> the world's accelerated backend (pallas or
+        # pallas_fused), honoring the world's default
+        self.accel_backend = (
+            world.default_backend if world.default_backend != "jnp" else "pallas"
+        )
+        self.use_gpu = world.default_backend != "jnp"
         self.speed_idx = 0
         self.step_idx = DEF_STEP_IDX
         # fixed-timestep accumulator state (main.c:58-60, 140-163)
@@ -127,7 +132,7 @@ class Viewer:
         if updates == 0:
             return
         step = self.phys_step * STEPS[self.step_idx]
-        backend = "pallas" if self.use_gpu else "jnp"
+        backend = self.accel_backend if self.use_gpu else "jnp"
         self.world.update(step, updates, backend=backend)
 
     def run(self, interval_ms: int = 10):
@@ -154,7 +159,7 @@ class Viewer:
             host = self.world.particles
             scat.set_offsets(np.asarray(host.pos))
             if self.overlay:
-                mode = "pallas (TPU)" if self.use_gpu else "jnp"
+                mode = f"{self.accel_backend} (TPU)" if self.use_gpu else "jnp"
                 state = " (paused)" if self.pause else ""
                 warn = "\nSKIPPING FRAMES" if self.skipped_frames > MAX_OVERWORK else ""
                 text.set_text(

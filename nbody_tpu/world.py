@@ -38,7 +38,7 @@ from .types import (
     DEFAULT_SIM_CONFIG,
     Particles,
     SimConfig,
-    round_up,
+    pad_to_tiles,
 )
 
 Backend = Literal["jnp", "pallas", "pallas_fused"]
@@ -161,16 +161,11 @@ class World:
         radius = host.radius[order]
 
         # Source row length: massive particles rounded up to the source-tile
-        # lane alignment; zero-gm padding makes the extra rows inert. Must be
-        # divisible by the effective source tile (min(tile_sources, src_len)).
-        src_len = round_up(max(mass_len, 1), SOURCE_ALIGN)
-        if src_len > config.tile_sources:
-            src_len = round_up(src_len, config.tile_sources)
+        # lane alignment; zero-gm padding makes the extra rows inert.
+        src_len = pad_to_tiles(mass_len, SOURCE_ALIGN, config.tile_sources)
         # Padded total: >= src_len (sources are a prefix slice) and divisible
         # by the effective target tile (min(tile_targets, n_pad)).
-        n_pad = round_up(max(n, src_len), 8)
-        if n_pad > config.tile_targets:
-            n_pad = round_up(n_pad, config.tile_targets)
+        n_pad = pad_to_tiles(max(n, src_len), 8, config.tile_targets)
 
         def pad(a, fill):
             out = np.full((n_pad,) + a.shape[1:], fill, dtype=np.float32)

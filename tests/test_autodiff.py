@@ -117,3 +117,15 @@ def test_pallas_rollout_nonaligned_n():
     pj, _ = rollout(jnp.array(pos), jnp.array(vel), jnp.array(mass), jnp.array(radius),
                     jnp.float32(0.01), n_steps=3, mass_len=300, backend="jnp")
     np.testing.assert_allclose(np.asarray(pa), np.asarray(pj), rtol=1e-4, atol=1e-3)
+
+    # gradient path must also survive the nonaligned shapes (the bwd chunk
+    # divisibility is a separate constraint from the forward tiles)
+    def f(backend, scale):
+        p, _ = rollout(jnp.array(pos), scale * jnp.array(vel), jnp.array(mass),
+                       jnp.array(radius), jnp.float32(0.01),
+                       n_steps=3, mass_len=300, backend=backend)
+        return jnp.sum(p ** 2)
+
+    ga = jax.grad(lambda s: f("pallas", s))(jnp.float32(1.0))
+    gj = jax.grad(lambda s: f("jnp", s))(jnp.float32(1.0))
+    assert float(ga) == pytest.approx(float(gj), rel=1e-4)
