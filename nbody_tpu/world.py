@@ -194,10 +194,10 @@ class World:
 
         if default_backend is None:
             # Measured crossover on TPU v5e (docs/BENCHMARKS.md): XLA's fused
-            # jnp path wins below ~32k (lower launch overhead), the Pallas
-            # grid kernel at large N. (The reference's analogous heuristic:
-            # GPU above N ~ 500, main.c:55.)
-            default_backend = "pallas" if n >= 32768 else "jnp"
+            # jnp path holds a small lead up to ~262k; the Pallas grid kernel
+            # wins at ~1M. (The reference's analogous heuristic: GPU above
+            # N ~ 500, main.c:55.)
+            default_backend = "pallas" if n >= 524288 else "jnp"
         self.default_backend: Backend = default_backend
         self._host_cache: Particles | None = None
 

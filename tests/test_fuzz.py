@@ -1,0 +1,75 @@
+"""Randomized cross-backend consistency fuzzing: random worlds, random
+backend sequences, invariant checks — the broad net over everything the
+targeted tests might miss."""
+
+import numpy as np
+import pytest
+
+from nbody_tpu import create_world, make_particles
+from nbody_tpu.parallel.sharding import ShardedWorld, make_mesh
+from nbody_tpu.types import SimConfig
+from nbody_tpu.utils.checks import check_state, validate_world_invariants
+
+TINY = SimConfig(tile_targets=8, tile_sources=128)
+BACKENDS = ["jnp", "pallas", "pallas_fused"]
+
+
+def random_particles(rng, n):
+    massless = rng.uniform(size=n) < rng.uniform(0, 0.9)
+    return make_particles(
+        (rng.uniform(10, 1000) * rng.normal(size=(n, 2))).astype(np.float32),
+        vel=rng.normal(size=(n, 2)).astype(np.float32),
+        mass=np.where(massless, 0.0, rng.uniform(1, 1e5, n)).astype(np.float32),
+        radius=np.where(massless, 0.5, rng.uniform(0.5, 9.5, n)).astype(np.float32),
+    )
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_random_world_backend_consistency(seed):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(3, 120))
+    p = random_particles(rng, n)
+    dt = float(rng.uniform(0.001, 0.05))
+    steps = int(rng.integers(1, 8))
+
+    worlds = {b: create_world(p, config=TINY) for b in BACKENDS}
+    for b, w in worlds.items():
+        w.update(dt, steps, backend=b)
+        check_state(w.state, context=f"{b} seed={seed}")
+        validate_world_invariants(w)
+
+    ref = np.asarray(worlds["jnp"].particles.pos)
+    scale = max(1.0, np.abs(ref).max())
+    for b in BACKENDS[1:]:
+        got = np.asarray(worlds[b].particles.pos)
+        assert np.abs(got - ref).max() / scale < 1e-4, f"{b} diverged at seed {seed}"
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_random_sharded_consistency(seed):
+    rng = np.random.default_rng(100 + seed)
+    n = int(rng.integers(8, 200))
+    d = int(rng.choice([2, 4, 8]))
+    p = random_particles(rng, n)
+    dt = float(rng.uniform(0.001, 0.03))
+
+    w = create_world(p, config=TINY)
+    sw = ShardedWorld(p, make_mesh(d), config=TINY, force_backend="jnp")
+    w.update(dt, 3, backend="jnp")
+    sw.update(dt, 3)
+
+    ref = np.asarray(w.particles.pos)
+    got = np.asarray(sw.particles.pos)
+    scale = max(1.0, np.abs(ref).max())
+    assert np.abs(got - ref).max() / scale < 1e-4, f"sharded diverged seed={seed} d={d} n={n}"
+
+
+def test_tiny_n_on_many_devices():
+    # fewer real particles than devices x alignment: padding must carry it
+    rng = np.random.default_rng(7)
+    p = random_particles(rng, 10)
+    sw = ShardedWorld(p, make_mesh(8), config=TINY, force_backend="jnp")
+    sw.update(0.01, 2)
+    host = sw.particles
+    assert host.pos.shape == (10, 2)
+    assert np.all(np.isfinite(np.asarray(host.pos)))

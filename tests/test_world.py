@@ -148,11 +148,13 @@ def test_get_particles_fresh_after_each_update():
 
 
 def test_default_backend_heuristic():
-    # measured crossover: jnp below ~32k, pallas above (docs/BENCHMARKS.md)
+    # measured crossover: jnp below ~512k, pallas above (docs/BENCHMARKS.md)
     small = create_world(random_particles(600), config=TINY)
     assert small.default_backend == "jnp"
-    big = create_world(random_particles(40000), config=TINY)
+    big = create_world(random_particles(600), config=TINY, default_backend="pallas")
     assert big.default_backend == "pallas"
+    from nbody_tpu.world import World
+    assert World(random_particles(600), config=TINY).default_backend == "jnp"
 
 
 def test_world_with_galaxy_scene_smoke():
