@@ -14,9 +14,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-if jax.default_backend() != "tpu":
-    jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_num_cpu_devices", 8)
+# On non-TPU machines, force an 8-device virtual CPU mesh. Must happen before
+# backends initialize, so decide from the environment, not jax.devices().
+if os.environ.get("JAX_PLATFORMS", "") in ("", "cpu"):
+    try:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", 8)
+    except RuntimeError:
+        pass  # backends already up (e.g. interactive session); use as-is
 
 import numpy as np
 

@@ -20,8 +20,6 @@ sim_cpu.c:133-142).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
@@ -109,8 +107,8 @@ def acc_from_particles(
     return direct_sum_acc(pos, radius, src_pos, src_gm, chunk=chunk, precise=precise)
 
 
-@partial(jax.jit, static_argnames=("precise",))
-def integrate(pos, vel, acc, dt, *, precise: bool = True):
+@jax.jit
+def integrate(pos, vel, acc, dt):
     """Semi-implicit (symplectic) Euler, velocity first (sim_cpu.c:192-193,
     particle_cs.glsl:51-52): v += a*dt; x += v*dt."""
     vel = vel + dt * acc

@@ -56,7 +56,7 @@ def _make_kernel(axis: str | None, n_devices: int, n_i: int, n_j: int,
         comm, accx, accy,                                    # VMEM scratch
         tbx, tby, tbr, ivx, ivy, ivd,                        # (1,tile_t) bufs
         sox, soy, svx, svy, sax, say,                        # (1,tile_t) out stage
-        copy_sem, send_sem, recv_sem,                        # DMA semaphores
+        copy_sem, send_sem, recv_sem, ready_sem,             # semaphores
     ):
         me = jax.lax.axis_index(axis) if n_devices > 1 else 0
 
@@ -90,6 +90,16 @@ def _make_kernel(axis: str | None, n_devices: int, n_i: int, n_j: int,
         def hop_body(hop, _):
             slot = jax.lax.rem(hop, 2)
             nxt = jax.lax.rem(hop + 1, 2)
+
+            if n_devices > 2 and use_barrier:
+                # Backpressure: hop h's send (h >= 1) overwrites the slot the
+                # right neighbor read during hop h-1; wait for its
+                # "slot freed" signal before starting the copy. (Two devices
+                # ping-pong between distinct slots; interpret mode is
+                # sequential — neither can race.)
+                @pl.when((hop >= 1) & (hop < n_devices - 1))
+                def _():
+                    pltpu.semaphore_wait(ready_sem, 1)
 
             if n_devices > 1:
                 @pl.when(hop < n_devices - 1)
@@ -131,6 +141,17 @@ def _make_kernel(axis: str | None, n_devices: int, n_i: int, n_j: int,
                 return 0
 
             jax.lax.fori_loop(0, n_i, i_body, 0)
+
+            if n_devices > 2 and use_barrier:
+                # compute on comm[slot] is done: tell the LEFT neighbor it may
+                # overwrite this slot with its next-hop send
+                @pl.when(hop < n_devices - 2)
+                def _():
+                    pltpu.semaphore_signal(
+                        ready_sem, inc=1,
+                        device_id=jax.lax.rem(me + n_devices - 1, n_devices),
+                        device_id_type=pltpu.DeviceIdType.LOGICAL,
+                    )
 
             if n_devices > 1:
                 @pl.when(hop < n_devices - 1)
@@ -212,6 +233,16 @@ def ring_substep(
         tile_s //= 2
     if t % tile_t or s % tile_s:
         raise ValueError(f"local shapes T={t}, S={s} must tile by ({tile_t},{tile_s})")
+    # Targets stream from HBM (any T), but the rotating source tile is fully
+    # VMEM-resident (2 x (3,S) double buffer). Validate the budget instead of
+    # failing opaquely in the compiler; streaming sources too is future work.
+    comm_bytes = 2 * 3 * s * 4
+    if comm_bytes + 3 * tile_t * tile_s * 4 > 13 * 1024 * 1024:
+        raise ValueError(
+            f"source shard too large for the fused ring kernel (S={s}, comm "
+            f"buffer {comm_bytes / 2**20:.1f}MB); shard sources over more "
+            "devices or use the streaming 'pallas'/'jnp' backends"
+        )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     use_barrier = n_devices > 1 and not interpret
@@ -241,6 +272,7 @@ def ring_substep(
             pltpu.SemaphoreType.DMA((6,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.REGULAR,     # ring backpressure handshake
         ],
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,

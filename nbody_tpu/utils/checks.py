@@ -65,7 +65,11 @@ class CheckedWorld:
         self._world = world
 
     def update(self, dt, n=1, backend=None):
-        self._world.update(dt, n, backend=backend)
+        # ShardedWorld.update has no backend kwarg; only forward it when given
+        if backend is None:
+            self._world.update(dt, n)
+        else:
+            self._world.update(dt, n, backend=backend)
         check_state(self._world.state, context=f"after update(dt={dt}, n={n})")
         return self
 

@@ -196,7 +196,9 @@ def export_animation(
     images = []
     for _ in range(frames):
         world.update(dt, steps_per_frame, backend=backend)
-        images.append(render_frame(world.particles, camera))
+        # rasterize straight from device state (sliced on device) — only the
+        # uint8 frame crosses to the host
+        images.append(render_frame(world.state.slice_to(world.total_len), camera))
     arr = np.stack(images)
     if path.endswith(".npz"):
         np.savez_compressed(path, frames=arr)

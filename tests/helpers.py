@@ -1,0 +1,22 @@
+"""Shared test fixtures: tile configs sized for fast CPU/interpret runs and
+the canonical random-particle generator used across suites."""
+
+import numpy as np
+
+from nbody_tpu import make_particles
+from nbody_tpu.types import SimConfig
+
+# Small tiles keep interpret-mode Pallas and the CPU mesh fast.
+TINY = SimConfig(tile_targets=8, tile_sources=128)
+# Same tiles, exact sqrt+divide force math (the reference shader semantics).
+PRECISE = SimConfig(tile_targets=8, tile_sources=128, precise=True)
+
+
+def random_particles(n, seed=0, massless_frac=0.3):
+    rng = np.random.default_rng(seed)
+    pos = (100 * rng.normal(size=(n, 2))).astype(np.float32)
+    vel = rng.normal(size=(n, 2)).astype(np.float32)
+    massless = rng.uniform(size=n) < massless_frac
+    radius = np.where(massless, 0.5, rng.uniform(1.5, 9.5, n)).astype(np.float32)
+    mass = np.where(massless, 0.0, rng.uniform(10, 1e4, n)).astype(np.float32)
+    return make_particles(pos, vel=vel, mass=mass, radius=radius)

@@ -10,7 +10,6 @@ from nbody_tpu import create_world, make_particles
 from nbody_tpu.autodiff import rollout, trajectory_loss
 from nbody_tpu.types import SimConfig
 
-TINY = SimConfig(tile_targets=8, tile_sources=128)
 
 
 def sun_and_probe():

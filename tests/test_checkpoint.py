@@ -1,12 +1,11 @@
 """Checkpoint/resume round-trip (capability the reference lacks; SURVEY.md §5)."""
 
 import numpy as np
+from helpers import TINY
 
 from nbody_tpu import create_world, make_galaxies
 from nbody_tpu.types import SimConfig
 from nbody_tpu.utils import load_world, save_particles, load_particles, save_world
-
-TINY = SimConfig(tile_targets=8, tile_sources=128)
 
 
 def test_particles_roundtrip(tmp_path):

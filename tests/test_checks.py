@@ -1,6 +1,7 @@
 """NaN/divergence guard tests (validation-layer analogue, SURVEY.md §5)."""
 
 import numpy as np
+from helpers import TINY
 import pytest
 
 from nbody_tpu import create_world, make_galaxies, make_particles
@@ -11,8 +12,6 @@ from nbody_tpu.utils.checks import (
     check_state,
     validate_world_invariants,
 )
-
-TINY = SimConfig(tile_targets=8, tile_sources=128)
 
 
 def test_healthy_state_passes():

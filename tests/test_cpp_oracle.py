@@ -2,6 +2,7 @@
 jnp, Pallas, and a host-native SIMD implementation on identical inputs)."""
 
 import numpy as np
+from helpers import PRECISE, TINY
 import pytest
 
 from nbody_tpu import create_world, make_galaxies
@@ -11,9 +12,6 @@ from nbody_tpu.utils import cpp_oracle
 pytestmark = pytest.mark.skipif(
     not cpp_oracle.available(), reason="cpp oracle not buildable"
 )
-
-TINY = SimConfig(tile_targets=8, tile_sources=128)
-PRECISE = SimConfig(tile_targets=8, tile_sources=128, precise=True)
 
 
 def ordered_scene(n, g=2, seed=11037):

@@ -1,6 +1,7 @@
 """Device-side diagnostics: golden values + conservation over a run."""
 
 import numpy as np
+from helpers import TINY
 import pytest
 
 from nbody_tpu import G, create_world, make_galaxies, make_particles
@@ -13,8 +14,6 @@ from nbody_tpu.diagnostics import (
     total_momentum,
 )
 from nbody_tpu.types import SimConfig
-
-TINY = SimConfig(tile_targets=8, tile_sources=128)
 
 
 def two_body():

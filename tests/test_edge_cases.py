@@ -2,13 +2,12 @@
 round-trip, zero-radius softening corner."""
 
 import numpy as np
+from helpers import TINY
 
 from nbody_tpu import create_world, make_galaxies, make_particles, zeros_particles
 from nbody_tpu.parallel.sharding import ShardedWorld, make_mesh
 from nbody_tpu.types import SimConfig
 from nbody_tpu.utils import load_world, save_world
-
-TINY = SimConfig(tile_targets=8, tile_sources=128)
 
 
 def test_empty_world():

@@ -3,6 +3,7 @@ backend sequences, invariant checks — the broad net over everything the
 targeted tests might miss."""
 
 import numpy as np
+from helpers import TINY
 import pytest
 
 from nbody_tpu import create_world, make_particles
@@ -10,7 +11,6 @@ from nbody_tpu.parallel.sharding import ShardedWorld, make_mesh
 from nbody_tpu.types import SimConfig
 from nbody_tpu.utils.checks import check_state, validate_world_invariants
 
-TINY = SimConfig(tile_targets=8, tile_sources=128)
 BACKENDS = ["jnp", "pallas", "pallas_fused"]
 
 

@@ -2,6 +2,7 @@
 plus jit/determinism properties."""
 
 import jax
+from helpers import TINY
 import numpy as np
 import pytest
 
@@ -10,7 +11,6 @@ from nbody_tpu.models import make_galaxies_device
 from nbody_tpu.types import GalaxyConfig, SimConfig
 
 CFG = GalaxyConfig()
-TINY = SimConfig(tile_targets=8, tile_sources=128)
 
 
 @pytest.fixture(scope="module")

@@ -2,12 +2,11 @@
 conservation, bounded energy drift for symplectic Euler, NaN-freedom."""
 
 import numpy as np
+from helpers import TINY
 import pytest
 
 from nbody_tpu import G, create_world, make_galaxies
 from nbody_tpu.types import SimConfig
-
-TINY = SimConfig(tile_targets=8, tile_sources=128)
 
 
 def momentum(host):

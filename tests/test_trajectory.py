@@ -1,12 +1,11 @@
 """Trajectory recording: fused device-side capture equals step-by-step."""
 
 import numpy as np
+from helpers import TINY
 
 from nbody_tpu import create_world, make_galaxies
 from nbody_tpu.trajectory import load_trajectory, record_trajectory, save_trajectory
 from nbody_tpu.types import SimConfig
-
-TINY = SimConfig(tile_targets=8, tile_sources=128)
 
 
 def test_record_matches_stepping():

@@ -2,14 +2,13 @@
 headless animation export — no GUI needed."""
 
 import types
+from helpers import TINY
 
 import numpy as np
 
 from nbody_tpu import create_world, make_galaxies
 from nbody_tpu.types import SimConfig
 from nbody_tpu.viewer import DEF_STEP_IDX, SPEEDS, STEPS, Viewer, export_animation
-
-TINY = SimConfig(tile_targets=8, tile_sources=128)
 
 
 def make_viewer():

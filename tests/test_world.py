@@ -2,23 +2,12 @@
 batching semantics (reference world.c / nbody.h behaviors)."""
 
 import numpy as np
+from helpers import TINY, random_particles
 import pytest
 
 from nbody_tpu import create_world, make_galaxies, make_particles
 from nbody_tpu import partition_massive_first
 from nbody_tpu.types import SimConfig
-
-TINY = SimConfig(tile_targets=8, tile_sources=128)
-
-
-def random_particles(n, seed=0, massless_frac=0.3):
-    rng = np.random.default_rng(seed)
-    pos = (100 * rng.normal(size=(n, 2))).astype(np.float32)
-    vel = rng.normal(size=(n, 2)).astype(np.float32)
-    massless = rng.uniform(size=n) < massless_frac
-    radius = np.where(massless, 0.5, rng.uniform(1.5, 9.5, n)).astype(np.float32)
-    mass = np.where(massless, 0.0, rng.uniform(10, 1e4, n)).astype(np.float32)
-    return make_particles(pos, vel=vel, mass=mass, radius=radius)
 
 
 # --- partition (reference world.c:33-46; test_particle_sort.c cases) ---
