@@ -99,6 +99,11 @@ class Viewer:
             self.step_idx += 1
         elif k == "a":
             self.overlay = not self.overlay
+        elif k == "q":
+            # quit (main.c:64); closing all figures ends plt.show()
+            import matplotlib.pyplot as plt
+
+            plt.close("all")
 
     def advance(self, frame_time: float | None = None) -> None:
         """Advance the sim by the accumulator rule (main.c:140-163): bank
