@@ -1,0 +1,41 @@
+"""Golden-trajectory regression net: a committed trajectory must be
+reproduced (to fp32 tolerance) by every backend on every platform — catches
+silent numerical regressions across framework/jax versions."""
+
+import pathlib
+
+import numpy as np
+import pytest
+
+from nbody_tpu import create_world, make_particles
+from nbody_tpu.trajectory import record_trajectory
+from helpers import PRECISE
+
+GOLDEN = pathlib.Path(__file__).parent / "data" / "golden_traj_n120_seed2024.npz"
+
+
+@pytest.fixture(scope="module")
+def golden():
+    with np.load(GOLDEN) as d:
+        return {k: d[k] for k in d.files}
+
+
+@pytest.mark.parametrize("backend", ["jnp", "pallas", "pallas_fused"])
+def test_golden_trajectory_reproduced(golden, backend):
+    p = make_particles(golden["pos0"], vel=golden["vel0"],
+                       mass=golden["mass"], radius=golden["radius"])
+    w = create_world(p, config=PRECISE)
+    traj = record_trajectory(w, 0.01, frames=10, steps_per_frame=5, backend=backend)
+    # scale-relative tolerance: fp32 round-off accumulated over 50 substeps
+    scale = np.abs(golden["traj"]).max()
+    np.testing.assert_allclose(traj, golden["traj"], atol=2e-5 * scale)
+
+
+def test_golden_scene_regeneration(golden):
+    """The seeded generator itself must remain reproducible."""
+    from nbody_tpu import make_galaxies
+
+    scene = make_galaxies(120, 1, seed=2024)
+    np.testing.assert_array_equal(np.asarray(scene.pos), golden["pos0"])
+    np.testing.assert_array_equal(np.asarray(scene.vel), golden["vel0"])
+    np.testing.assert_array_equal(np.asarray(scene.mass), golden["mass"])
