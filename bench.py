@@ -84,6 +84,26 @@ def run_ladder(args):
             " ".join(f"{b}:{pairs_rate[b]:.3e} pairs/s" for b in backends))
 
 
+def run_sharded(args) -> None:
+    """Sharded-world timing over all local devices (meaningful on a pod
+    slice; degenerates to 1 shard on a single chip)."""
+    from nbody_tpu.parallel import ShardedWorld, make_mesh
+
+    mesh = make_mesh()
+    scene = nb.make_galaxies(args.n, 2, seed=SEED)
+    sw = ShardedWorld(scene, mesh)
+    sw.update(UPDATE_STEP, args.warmup)
+    sw.block_until_ready()
+    t0 = time.perf_counter()
+    sw.update(UPDATE_STEP, args.iters)
+    sw.block_until_ready()
+    us = (time.perf_counter() - t0) / args.iters * 1e6
+    d = mesh.devices.size
+    log(f"sharded: N={args.n} devices={d} force={sw.force_backend} "
+        f"{us:.1f} µs/step {sw.total_len * sw.mass_len / (us / 1e6):.3e} pairs/s "
+        f"({sw.total_len * sw.mass_len / (us / 1e6) / d:.3e} pairs/s/chip)")
+
+
 def run_primary(args) -> dict:
     n = args.n
     w = make_world(n)
@@ -118,12 +138,16 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--backend", default="pallas",
                     choices=["pallas", "jnp", "pallas_fused"])
+    ap.add_argument("--sharded", action="store_true",
+                    help="also time the ring-sharded world over all devices")
     args = ap.parse_args()
     if not args.cpu and not args.gpu:
         args.gpu = True  # default: the flagship backend
 
     if args.ladder:
         run_ladder(args)
+    if args.sharded:
+        run_sharded(args)
     result = run_primary(args)
     print(json.dumps(result), flush=True)
 
