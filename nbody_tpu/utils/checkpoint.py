@@ -49,3 +49,40 @@ def load_world(path: str, world_cls=None, **world_kwargs):
         from ..world import World as world_cls  # noqa: N813
     p, extra = load_particles(path)
     return world_cls(p, **world_kwargs), int(extra.get("step", 0))
+
+
+# --- Orbax-backed checkpointing (sharded-array native, async-capable) -----
+#
+# The .npz path above gathers state to the host, which is fine up to a few
+# million particles. For pod-scale sharded worlds, Orbax writes each shard
+# from its own device without a global gather.
+
+def save_world_orbax(path: str, world, step: int = 0) -> None:
+    """Checkpoint a World/ShardedWorld with Orbax (per-shard writes)."""
+    import orbax.checkpoint as ocp
+
+    state = world.state
+    tree = {
+        "pos": state.pos, "vel": state.vel, "acc": state.acc,
+        "mass": state.mass, "radius": state.radius,
+        "step": np.int64(step), "total_len": np.int64(world.total_len),
+        "mass_len": np.int64(world.mass_len),
+    }
+    with ocp.StandardCheckpointer() as ckpt:
+        ckpt.save(path, tree, force=True)
+
+
+def load_world_orbax(path: str, world_cls=None, **world_kwargs):
+    """Resume from an Orbax checkpoint. Returns (world, step)."""
+    import orbax.checkpoint as ocp
+
+    if world_cls is None:
+        from ..world import World as world_cls  # noqa: N813
+    with ocp.StandardCheckpointer() as ckpt:
+        tree = ckpt.restore(path)
+    n = int(tree["total_len"])
+    p = make_particles(
+        tree["pos"][:n], vel=tree["vel"][:n], acc=tree["acc"][:n],
+        mass=tree["mass"][:n], radius=tree["radius"][:n],
+    )
+    return world_cls(p, **world_kwargs), int(tree["step"])

@@ -34,3 +34,26 @@ def test_world_resume_continues_identically(tmp_path):
     np.testing.assert_allclose(
         np.asarray(resumed.particles.pos), np.asarray(w.particles.pos), rtol=1e-6
     )
+
+
+def test_orbax_roundtrip(tmp_path):
+    pytest = __import__("pytest")
+    pytest.importorskip("orbax.checkpoint")
+    from nbody_tpu.utils.checkpoint import load_world_orbax, save_world_orbax
+
+    scene = make_galaxies(250, 1, seed=6)
+    w = create_world(scene, config=TINY)
+    w.update(0.01, 2, backend="jnp")
+    path = str(tmp_path / "orbax_ckpt")
+    save_world_orbax(path, w, step=2)
+
+    resumed, step = load_world_orbax(path, config=TINY)
+    assert step == 2
+    np.testing.assert_allclose(
+        np.asarray(resumed.particles.pos), np.asarray(w.particles.pos), rtol=1e-6
+    )
+    w.update(0.01, 3, backend="jnp")
+    resumed.update(0.01, 3, backend="jnp")
+    np.testing.assert_allclose(
+        np.asarray(resumed.particles.pos), np.asarray(w.particles.pos), rtol=1e-6
+    )
