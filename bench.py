@@ -107,10 +107,14 @@ def run_sharded(args) -> None:
 def run_primary(args) -> dict:
     n = args.n
     w = make_world(n)
+    # default: whatever backend the framework itself would pick at this N
+    # (the measured-crossover heuristic) — i.e. out-of-the-box performance
+    backend = args.backend or w.default_backend
+    args.backend = backend
     # best-of-repeats: the remote-device tunnel adds run-to-run jitter; the
     # minimum is the honest hardware number
     us = min(
-        bench_world(w, args.backend, args.iters, args.warmup if r == 0 else 0)
+        bench_world(w, backend, args.iters, args.warmup if r == 0 else 0)
         for r in range(args.repeats)
     )
     pairs = w.total_len * w.mass_len
@@ -136,8 +140,10 @@ def main():
     ap.add_argument("--iters", type=int, default=BENCH_ITER)
     ap.add_argument("--warmup", type=int, default=WARMUP_ITER)
     ap.add_argument("--repeats", type=int, default=3)
-    ap.add_argument("--backend", default="pallas",
-                    choices=["pallas", "jnp", "pallas_fused"])
+    ap.add_argument("--backend", default=None,
+                    choices=["pallas", "jnp", "pallas_fused"],
+                    help="force a backend (default: the framework's own "
+                         "size-based choice)")
     ap.add_argument("--sharded", action="store_true",
                     help="also time the ring-sharded world over all devices")
     args = ap.parse_args()

@@ -3,5 +3,6 @@
 
 from ..galaxy import make_galaxies
 from .galaxy_device import make_galaxies_device
+from .plummer import make_plummer_disk
 
-__all__ = ["make_galaxies", "make_galaxies_device"]
+__all__ = ["make_galaxies", "make_galaxies_device", "make_plummer_disk"]
