@@ -10,7 +10,7 @@ from nbody_tpu.parallel.sharding import ShardedWorld, make_mesh
 from nbody_tpu.types import SimConfig
 
 
-@pytest.mark.parametrize("n_devices", [1, 2, 4])
+@pytest.mark.parametrize("n_devices", [1, 2, 3, 4])
 def test_fused_ring_matches_single_device(n_devices):
     p = random_particles(64, seed=41)
     sw = ShardedWorld(p, make_mesh(n_devices), config=TINY, force_backend="pallas_ring")
