@@ -72,6 +72,19 @@ def record_trajectory(
     return np.asarray(traj[:, : world.total_len, :])
 
 
+def record_trajectory_sharded(
+    world, dt: float, frames: int, steps_per_frame: int = 1
+) -> np.ndarray:
+    """Trajectory capture for a ShardedWorld: frames gathered per capture
+    (the sharded update itself stays fused on device; the per-frame gather is
+    the explicit output, as with any trajectory export)."""
+    out = np.empty((frames, world.total_len, 2), np.float32)
+    for k in range(frames):
+        world.update(dt, steps_per_frame)
+        out[k] = np.asarray(world.particles.pos)
+    return out
+
+
 def save_trajectory(path: str, traj: np.ndarray, **extra) -> None:
     np.savez_compressed(path, traj=np.asarray(traj, np.float32), **extra)
 
