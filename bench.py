@@ -73,8 +73,8 @@ def run_ladder(args):
         pairs_rate = {}
         for b in backends:
             w = make_world(n)
-            # amortize the per-call host->device round trip (30-40ms through
-            # the axon tunnel) at small N; 10 iters suffice at huge N
+            # amortize the per-call host->device round trip (tens of ms on
+            # remote-attached devices) at small N; 10 iters suffice at huge N
             iters = 2000 if n <= 4000 else (BENCH_ITER if n <= 200000 else 10)
             us = bench_world(w, b, iters)
             row.append(f"{us:>12.1f}")
