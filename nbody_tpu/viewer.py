@@ -141,8 +141,16 @@ class Viewer:
         self.world.update(step, updates, backend=backend)
 
     def run(self, interval_ms: int = 10):
+        import matplotlib
         import matplotlib.pyplot as plt
         from matplotlib.animation import FuncAnimation
+
+        if matplotlib.get_backend().lower() == "agg":
+            raise RuntimeError(
+                "no interactive matplotlib backend available (headless "
+                "environment?) — use `python -m nbody_tpu gif` or "
+                "nbody_tpu.viewer.export_animation for headless rendering"
+            )
 
         host = self.world.particles
         fig, ax = plt.subplots(figsize=(12.8, 7.2))
