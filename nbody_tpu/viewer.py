@@ -167,17 +167,28 @@ class Viewer:
                        color="lime", family="monospace")
         fig.canvas.mpl_connect("key_press_event", self.on_key)
 
+        import time as _time
+
+        fps_state = {"t": _time.perf_counter(), "frames": 0, "fps": 0.0}
+
         def frame(_):
             self.advance()
             host = self.world.particles
             scat.set_offsets(np.asarray(host.pos))
+            fps_state["frames"] += 1
+            now = _time.perf_counter()
+            if now - fps_state["t"] >= 0.5:
+                fps_state["fps"] = fps_state["frames"] / (now - fps_state["t"])
+                fps_state["t"] = now
+                fps_state["frames"] = 0
             if self.overlay:
                 mode = f"{self.accel_backend} (TPU)" if self.use_gpu else "jnp"
                 state = " (paused)" if self.pause else ""
                 warn = "\nSKIPPING FRAMES" if self.skipped_frames > MAX_OVERWORK else ""
                 text.set_text(
                     f"{mode} simulation{state}\n"
-                    f"step x{STEPS[self.step_idx]:.2f}  speed x{SPEEDS[self.speed_idx]}"
+                    f"step x{STEPS[self.step_idx]:.2f}  speed x{SPEEDS[self.speed_idx]}\n"
+                    f"{fps_state['fps']:.0f} FPS"
                     f"{warn}"
                 )
             else:
