@@ -47,20 +47,34 @@ from ..types import DTYPE
 
 
 def _make_kernel(axis: str | None, n_devices: int, n_i: int, n_j: int,
-                 tile_t: int, tile_s: int, precise: bool, use_barrier: bool):
+                 tile_t: int, tile_s: int, precise: bool, use_barrier: bool,
+                 stream_sources: bool):
     def kernel(
         dt_ref,                                              # (1,1) SMEM
         px_ref, py_ref, rr_ref, vx_ref, vy_ref, valid_ref,   # (1,T) ANY
-        src_ref,                                             # (3,S) VMEM
+        src_ref,                                             # (3,S) ANY
         npx_ref, npy_ref, nvx_ref, nvy_ref, nax_ref, nay_ref,  # (1,T) ANY
-        comm, accx, accy,                                    # VMEM scratch
-        tbx, tby, tbr, ivx, ivy, ivd,                        # (1,tile_t) bufs
-        sox, soy, svx, svy, sax, say,                        # (1,tile_t) out stage
-        copy_sem, send_sem, recv_sem, ready_sem,             # semaphores
+        *rest,
     ):
+        # streaming mode: comm lives in compiler-chosen (HBM) memory as an
+        # extra output and source tiles DMA through a small VMEM buffer;
+        # resident mode: comm is a VMEM scratch read directly.
+        if stream_sources:
+            (comm, accx, accy,
+             tbx, tby, tbr, ivx, ivy, ivd,
+             sox, soy, svx, svy, sax, say, sbuf,
+             copy_sem, send_sem, recv_sem, ready_sem) = rest
+        else:
+            (accx, accy,
+             tbx, tby, tbr, ivx, ivy, ivd,
+             sox, soy, svx, svy, sax, say,
+             comm, copy_sem, send_sem, recv_sem, ready_sem) = rest
+            sbuf = None
         me = jax.lax.axis_index(axis) if n_devices > 1 else 0
 
-        comm[0] = src_ref[:]
+        init = pltpu.make_async_copy(src_ref, comm.at[0], copy_sem.at[5])
+        init.start()
+        init.wait()
         accx[:] = jnp.zeros_like(accx)
         accy[:] = jnp.zeros_like(accy)
 
@@ -119,9 +133,20 @@ def _make_kernel(axis: str | None, n_devices: int, n_i: int, n_j: int,
 
                 def j_body(j, carry):
                     ax, ay = carry
-                    sx = comm[slot, 0:1, pl.ds(j * tile_s, tile_s)]
-                    sy = comm[slot, 1:2, pl.ds(j * tile_s, tile_s)]
-                    gm = comm[slot, 2:3, pl.ds(j * tile_s, tile_s)]
+                    if stream_sources:
+                        cp = pltpu.make_async_copy(
+                            comm.at[slot, :, pl.ds(j * tile_s, tile_s)],
+                            sbuf, copy_sem.at[5],
+                        )
+                        cp.start()
+                        cp.wait()
+                        sx = sbuf[0:1, :]
+                        sy = sbuf[1:2, :]
+                        gm = sbuf[2:3, :]
+                    else:
+                        sx = comm[slot, 0:1, pl.ds(j * tile_s, tile_s)]
+                        sy = comm[slot, 1:2, pl.ds(j * tile_s, tile_s)]
+                        gm = comm[slot, 2:3, pl.ds(j * tile_s, tile_s)]
                     dx = sx - tx
                     dy = sy - ty
                     r2 = dx * dx + dy * dy + tr
@@ -204,7 +229,8 @@ def _make_kernel(axis: str | None, n_devices: int, n_i: int, n_j: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("axis", "n_devices", "tile_t", "tile_s", "precise", "interpret"),
+    static_argnames=("axis", "n_devices", "tile_t", "tile_s", "precise",
+                     "interpret", "stream_sources"),
 )
 def ring_substep(
     dt,          # scalar f32
@@ -220,6 +246,7 @@ def ring_substep(
     tile_s: int = 1024,
     precise: bool = False,
     interpret: bool | None = None,
+    stream_sources: bool | None = None,
 ):
     """One fused substep for this device (call inside shard_map; or with
     n_devices=1 / axis=None as a single-chip fused step). Returns
@@ -233,16 +260,14 @@ def ring_substep(
         tile_s //= 2
     if t % tile_t or s % tile_s:
         raise ValueError(f"local shapes T={t}, S={s} must tile by ({tile_t},{tile_s})")
-    # Targets stream from HBM (any T), but the rotating source tile is fully
-    # VMEM-resident (2 x (3,S) double buffer). Validate the budget instead of
-    # failing opaquely in the compiler; streaming sources too is future work.
-    comm_bytes = 2 * 3 * s * 4
-    if comm_bytes + 3 * tile_t * tile_s * 4 > 13 * 1024 * 1024:
-        raise ValueError(
-            f"source shard too large for the fused ring kernel (S={s}, comm "
-            f"buffer {comm_bytes / 2**20:.1f}MB); shard sources over more "
-            "devices or use the streaming 'pallas'/'jnp' backends"
-        )
+    # Targets always stream from HBM (any T). The rotating source tile is
+    # VMEM-resident when it fits the budget (fastest); otherwise the comm
+    # double buffer lives in compiler-chosen (HBM) memory, the ring RDMA
+    # lands there, and source tiles stream through a small VMEM buffer —
+    # no size limit in either dimension.
+    if stream_sources is None:
+        comm_bytes = 2 * 4 * s * 4
+        stream_sources = comm_bytes + 3 * tile_t * tile_s * 4 > 13 * 1024 * 1024
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     use_barrier = n_devices > 1 and not interpret
@@ -250,30 +275,44 @@ def ring_substep(
     n_i = t // tile_t
     n_j = s // tile_s
     kernel = _make_kernel(axis, n_devices, n_i, n_j, tile_t, tile_s, precise,
-                          use_barrier)
+                          use_barrier, stream_sources)
 
     row = lambda a: a.reshape(1, t)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     tile_buf = lambda: pltpu.VMEM((1, tile_t), DTYPE)
+    out_specs = [any_spec] * 6
+    out_shape = [jax.ShapeDtypeStruct((1, t), DTYPE)] * 6
+    scratch = [
+        pltpu.VMEM((n_i, tile_t), DTYPE),    # ax accumulator (dense)
+        pltpu.VMEM((n_i, tile_t), DTYPE),    # ay accumulator (dense)
+        *[tile_buf() for _ in range(12)],    # target/integration/out bufs
+    ]
+    # memrefs tile the second-to-last dim by 4, so the (x, y, gm) source rows
+    # are padded 3 -> 4 (one dead row) to keep comm.at[slot] DMA slices
+    # tile-aligned
+    src = jnp.concatenate([src, jnp.zeros((1, s), DTYPE)], axis=0)
+    if stream_sources:
+        # comm double buffer as an HBM-space output; VMEM streaming buffer
+        out_specs.append(any_spec)
+        out_shape.append(jax.ShapeDtypeStruct((2, 4, s), DTYPE))
+        scratch.append(pltpu.VMEM((4, tile_s), DTYPE))
+    else:
+        scratch.append(pltpu.VMEM((2, 4, s), DTYPE))  # resident double buffer
+    scratch += [
+        pltpu.SemaphoreType.DMA((6,)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.REGULAR,     # ring backpressure handshake
+    ]
     out = pl.pallas_call(
         kernel,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            *[any_spec] * 6,
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            *[any_spec] * 7,
         ],
-        out_specs=[any_spec] * 6,
-        out_shape=[jax.ShapeDtypeStruct((1, t), DTYPE)] * 6,
-        scratch_shapes=[
-            pltpu.VMEM((2, 3, s), DTYPE),        # double-buffered source tile
-            pltpu.VMEM((n_i, tile_t), DTYPE),    # ax accumulator (dense)
-            pltpu.VMEM((n_i, tile_t), DTYPE),    # ay accumulator (dense)
-            *[tile_buf() for _ in range(12)],    # target/integration/out bufs
-            pltpu.SemaphoreType.DMA((6,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.REGULAR,     # ring backpressure handshake
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             # collective_id pairs with the custom barrier; the compiler
@@ -287,7 +326,7 @@ def ring_substep(
         row(vel[:, 0]), row(vel[:, 1]), row(valid[:, 0]),
         src,
     )
-    npx, npy, nvx, nvy, nax, nay = out
+    npx, npy, nvx, nvy, nax, nay = out[:6]
     new_pos = jnp.stack([npx[0], npy[0]], axis=1)
     new_vel = jnp.stack([nvx[0], nvy[0]], axis=1)
     new_acc = jnp.stack([nax[0], nay[0]], axis=1)
