@@ -11,10 +11,12 @@ substep for one device into a single Pallas kernel:
     VMEM with ``make_async_copy`` — no whole-shard VMEM residency, so local
     shards of any size fit (v1 of this kernel kept (T,1) columns VMEM-resident,
     which lane-pads 128x and capped shards at ~1k particles);
-  * the visiting source tile (x, y, G*mass rows, shape (3, S)) sits in a
-    double-buffered VMEM scratch; while hop k's tile feeds the tiled O(T*S)
+  * the visiting source tile (x, y, G*mass rows) sits in a double-buffered
+    scratch — VMEM while it fits, else auto-switching to HBM-space with
+    per-tile VMEM streaming; while hop k's tile feeds the tiled O(T*S)
     force loops, it is simultaneously in flight to the right neighbor via
-    ``make_async_remote_copy`` over ICI (the ring-collective pattern);
+    ``make_async_remote_copy`` over ICI (the ring-collective pattern), with
+    a "slot freed" semaphore handshake for backpressure;
   * accelerations accumulate across hops in a dense (n_i, tile_t) VMEM
     scratch (one row per target tile — no lane padding);
   * after the last hop an integration pass applies semi-implicit Euler
