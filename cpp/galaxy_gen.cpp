@@ -60,8 +60,10 @@ extern "C" {
 int nb_make_galaxies(uint64_t seed, uint32_t particle_count,
                      uint32_t galaxy_count, float* pos, float* vel,
                      float* mass, float* radius) {
-    if (galaxy_count < 1 ||
-        particle_count < galaxy_count * kMinPerGalaxy) {
+    if (galaxy_count < 1) {
+        return 2;
+    }
+    if (particle_count < galaxy_count * kMinPerGalaxy) {
         return 1;
     }
     Rng rng(seed);

@@ -1,9 +1,9 @@
 #!/usr/bin/env python
 """Multi-device run: particles sharded over all available devices with the
-ring all-gather force pass. Works on a TPU slice or, for demonstration, a
-virtual CPU mesh (run with no TPU: it forces 8 virtual CPU devices).
+ring all-gather force pass. Works on a TPU slice, or pass --cpu-demo to run
+on an 8-device virtual CPU mesh.
 
-Usage: python examples/sharded.py [n_particles]
+Usage: python examples/sharded.py [n_particles] [--cpu-demo]
 """
 
 import os
@@ -14,9 +14,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-# On non-TPU machines, force an 8-device virtual CPU mesh. Must happen before
-# backends initialize, so decide from the environment, not jax.devices().
-if os.environ.get("JAX_PLATFORMS", "") in ("", "cpu"):
+# --cpu-demo: force an 8-device virtual CPU mesh (for machines without a
+# TPU slice). Must happen before backends initialize, so it's an explicit
+# flag, not an after-the-fact device query.
+if "--cpu-demo" in sys.argv:
+    sys.argv.remove("--cpu-demo")
     try:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", 8)

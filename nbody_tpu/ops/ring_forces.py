@@ -133,18 +133,30 @@ def _make_kernel(axis: str | None, n_devices: int, n_i: int, n_j: int,
                 ty = jnp.transpose(tby[:])
                 tr = jnp.transpose(tbr[:])
 
+                if stream_sources:
+                    # double-buffered HBM->VMEM prefetch: tile j+1 is in
+                    # flight while tile j feeds the force block
+                    def tile_cp(jj, sl):
+                        return pltpu.make_async_copy(
+                            comm.at[slot, :, pl.ds(jj * tile_s, tile_s)],
+                            sbuf.at[sl], copy_sem.at[4 + sl],
+                        )
+
+                    tile_cp(0, 0).start()
+
                 def j_body(j, carry):
                     ax, ay = carry
                     if stream_sources:
-                        cp = pltpu.make_async_copy(
-                            comm.at[slot, :, pl.ds(j * tile_s, tile_s)],
-                            sbuf, copy_sem.at[5],
-                        )
-                        cp.start()
-                        cp.wait()
-                        sx = sbuf[0:1, :]
-                        sy = sbuf[1:2, :]
-                        gm = sbuf[2:3, :]
+                        cur = jax.lax.rem(j, 2)
+
+                        @pl.when(j + 1 < n_j)
+                        def _():
+                            tile_cp(j + 1, jax.lax.rem(j + 1, 2)).start()
+
+                        tile_cp(j, cur).wait()
+                        sx = sbuf[cur, 0:1, :]
+                        sy = sbuf[cur, 1:2, :]
+                        gm = sbuf[cur, 2:3, :]
                     else:
                         sx = comm[slot, 0:1, pl.ds(j * tile_s, tile_s)]
                         sy = comm[slot, 1:2, pl.ds(j * tile_s, tile_s)]
@@ -169,17 +181,6 @@ def _make_kernel(axis: str | None, n_devices: int, n_i: int, n_j: int,
 
             jax.lax.fori_loop(0, n_i, i_body, 0)
 
-            if n_devices > 2 and use_barrier:
-                # compute on comm[slot] is done: tell the LEFT neighbor it may
-                # overwrite this slot with its next-hop send
-                @pl.when(hop < n_devices - 2)
-                def _():
-                    pltpu.semaphore_signal(
-                        ready_sem, inc=1,
-                        device_id=jax.lax.rem(me + n_devices - 1, n_devices),
-                        device_id_type=pltpu.DeviceIdType.LOGICAL,
-                    )
-
             if n_devices > 1:
                 @pl.when(hop < n_devices - 1)
                 def _():
@@ -189,6 +190,20 @@ def _make_kernel(axis: str | None, n_devices: int, n_i: int, n_j: int,
                         device_id=jax.lax.rem(me + 1, n_devices),
                         device_id_type=pltpu.DeviceIdType.LOGICAL,
                     ).wait()
+
+            if n_devices > 2 and use_barrier:
+                # comm[slot] is no longer read by EITHER this device's compute
+                # or its outgoing RDMA (send_sem waited above): tell the LEFT
+                # neighbor it may overwrite the slot with its next-hop send.
+                # (Signaling before the send completed would let the neighbor
+                # clobber the slot mid-transfer.)
+                @pl.when(hop < n_devices - 2)
+                def _():
+                    pltpu.semaphore_signal(
+                        ready_sem, inc=1,
+                        device_id=jax.lax.rem(me + n_devices - 1, n_devices),
+                        device_id_type=pltpu.DeviceIdType.LOGICAL,
+                    )
             return 0
 
         jax.lax.fori_loop(0, n_devices, hop_body, 0)
@@ -262,14 +277,26 @@ def ring_substep(
         tile_s //= 2
     if t % tile_t or s % tile_s:
         raise ValueError(f"local shapes T={t}, S={s} must tile by ({tile_t},{tile_s})")
-    # Targets always stream from HBM (any T). The rotating source tile is
-    # VMEM-resident when it fits the budget (fastest); otherwise the comm
-    # double buffer lives in compiler-chosen (HBM) memory, the ring RDMA
-    # lands there, and source tiles stream through a small VMEM buffer —
-    # no size limit in either dimension.
+    # Targets stream from HBM (up to ~1.2M/shard — the VMEM accumulators are
+    # the limit, validated below). The rotating source tile is VMEM-resident
+    # when it fits the budget (fastest); otherwise the comm double buffer
+    # lives in compiler-chosen (HBM) memory, the ring RDMA lands there, and
+    # source tiles stream (double-buffered) through VMEM — unlimited sources.
+    # the (n_i, tile_t) acceleration accumulators are unconditionally
+    # VMEM-resident: 8 bytes per target caps local target shards at ~1.2M
+    temps_bytes = 3 * tile_t * tile_s * 4
+    acc_bytes = 2 * t * 4
+    if acc_bytes + temps_bytes > 13 * 1024 * 1024:
+        raise ValueError(
+            f"target shard too large for the fused ring kernel (T={t}: "
+            f"{acc_bytes / 2**20:.1f}MB of VMEM accumulators); shard targets "
+            "over more devices or use the streaming 'pallas'/'jnp' backends"
+        )
     if stream_sources is None:
         comm_bytes = 2 * 4 * s * 4
-        stream_sources = comm_bytes + 3 * tile_t * tile_s * 4 > 13 * 1024 * 1024
+        stream_sources = (
+            comm_bytes + acc_bytes + temps_bytes > 13 * 1024 * 1024
+        )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     use_barrier = n_devices > 1 and not interpret
@@ -297,7 +324,7 @@ def ring_substep(
         # comm double buffer as an HBM-space output; VMEM streaming buffer
         out_specs.append(any_spec)
         out_shape.append(jax.ShapeDtypeStruct((2, 4, s), DTYPE))
-        scratch.append(pltpu.VMEM((4, tile_s), DTYPE))
+        scratch.append(pltpu.VMEM((2, 4, tile_s), DTYPE))  # prefetch buffers
     else:
         scratch.append(pltpu.VMEM((2, 4, s), DTYPE))  # resident double buffer
     scratch += [

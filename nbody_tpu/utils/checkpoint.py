@@ -68,18 +68,26 @@ def save_world_orbax(path: str, world, step: int = 0) -> None:
         "step": np.int64(step), "total_len": np.int64(world.total_len),
         "mass_len": np.int64(world.mass_len),
     }
+    import os
+
     with ocp.StandardCheckpointer() as ckpt:
-        ckpt.save(path, tree, force=True)
+        ckpt.save(os.path.abspath(path), tree, force=True)
 
 
 def load_world_orbax(path: str, world_cls=None, **world_kwargs):
-    """Resume from an Orbax checkpoint. Returns (world, step)."""
+    """Resume from an Orbax checkpoint. Returns (world, step).
+
+    Note: restores to host arrays before rebuilding the world (adequate for
+    single-host scales; a pod-scale restore should pass a sharded abstract
+    target to ckpt.restore so each device reads only its shard)."""
+    import os
+
     import orbax.checkpoint as ocp
 
     if world_cls is None:
         from ..world import World as world_cls  # noqa: N813
     with ocp.StandardCheckpointer() as ckpt:
-        tree = ckpt.restore(path)
+        tree = ckpt.restore(os.path.abspath(path))
     n = int(tree["total_len"])
     p = make_particles(
         tree["pos"][:n], vel=tree["vel"][:n], acc=tree["acc"][:n],

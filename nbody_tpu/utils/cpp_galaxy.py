@@ -50,7 +50,7 @@ def available() -> bool:
     try:
         _load()
         return True
-    except GeneratorUnavailable:
+    except (GeneratorUnavailable, OSError):
         return False
 
 
@@ -71,6 +71,8 @@ def make_galaxies_native(
         pos.ctypes.data_as(f32p), vel.ctypes.data_as(f32p),
         mass.ctypes.data_as(f32p), radius.ctypes.data_as(f32p),
     )
+    if rc == 2:
+        raise ValueError("galaxy_count must be >= 1")
     if rc != 0:
         raise ValueError(
             f"need at least {galaxy_count * 100} particles for "

@@ -145,7 +145,8 @@ class Viewer:
         import matplotlib.pyplot as plt
         from matplotlib.animation import FuncAnimation
 
-        if matplotlib.get_backend().lower() == "agg":
+        backend = matplotlib.get_backend().lower()
+        if any(b in backend for b in ("agg", "pdf", "svg", "ps", "pgf", "template", "cairo")):
             raise RuntimeError(
                 "no interactive matplotlib backend available (headless "
                 "environment?) — use `python -m nbody_tpu gif` or "

@@ -44,6 +44,16 @@ from .types import (
 Backend = Literal["jnp", "pallas", "pallas_fused"]
 
 
+# Measured backend crossover on TPU v5e (docs/BENCHMARKS.md): XLA's fused jnp
+# path holds a small lead up to ~262k; the Pallas grid kernel wins at ~1M.
+# (The reference's analogous heuristic: GPU above N ~ 500, main.c:55.)
+PALLAS_CROSSOVER_N = 524288
+
+
+def default_backend_for(n: int) -> "Backend":
+    return "pallas" if n >= PALLAS_CROSSOVER_N else "jnp"
+
+
 def partition_massive_first(mass: np.ndarray) -> tuple[np.ndarray, int]:
     """Return (permutation, mass_len): indices reordering particles so all
     with mass > 0 come first (world.c:33-46). Stable within each group."""
@@ -193,11 +203,7 @@ class World:
         self.valid = jnp.asarray((idx < n).astype(np.float32)[:, None])
 
         if default_backend is None:
-            # Measured crossover on TPU v5e (docs/BENCHMARKS.md): XLA's fused
-            # jnp path holds a small lead up to ~262k; the Pallas grid kernel
-            # wins at ~1M. (The reference's analogous heuristic: GPU above
-            # N ~ 500, main.c:55.)
-            default_backend = "pallas" if n >= 524288 else "jnp"
+            default_backend = default_backend_for(n)
         self.default_backend: Backend = default_backend
         self._host_cache: Particles | None = None
 

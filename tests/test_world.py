@@ -138,12 +138,17 @@ def test_get_particles_fresh_after_each_update():
 
 def test_default_backend_heuristic():
     # measured crossover: jnp below ~512k, pallas above (docs/BENCHMARKS.md)
+    from nbody_tpu.world import PALLAS_CROSSOVER_N, default_backend_for
+
+    assert default_backend_for(600) == "jnp"
+    assert default_backend_for(PALLAS_CROSSOVER_N - 1) == "jnp"
+    assert default_backend_for(PALLAS_CROSSOVER_N) == "pallas"
+    assert default_backend_for(2 * PALLAS_CROSSOVER_N) == "pallas"
+    # World uses the heuristic and honors explicit overrides
     small = create_world(random_particles(600), config=TINY)
     assert small.default_backend == "jnp"
-    big = create_world(random_particles(600), config=TINY, default_backend="pallas")
-    assert big.default_backend == "pallas"
-    from nbody_tpu.world import World
-    assert World(random_particles(600), config=TINY).default_backend == "jnp"
+    forced = create_world(random_particles(600), config=TINY, default_backend="pallas")
+    assert forced.default_backend == "pallas"
 
 
 def test_world_with_galaxy_scene_smoke():
