@@ -81,6 +81,27 @@ def _fused_ring_step_shard(
     )
 
 
+def _ring_force_shard(
+    pos, radius, gm_src, src_pos0, valid,
+    *, n_devices: int, config: SimConfig, force_backend: str
+):
+    """Masked acceleration of the full ring pass (no integration)."""
+    acc = jnp.zeros_like(pos)
+    src_pos, src_gm = src_pos0, gm_src
+    perm = [(i, (i + 1) % n_devices) for i in range(n_devices)]
+    for hop in range(n_devices):
+        if hop < n_devices - 1:
+            next_pos = jax.lax.ppermute(src_pos, AXIS, perm)
+            next_gm = jax.lax.ppermute(src_gm, AXIS, perm)
+        acc = acc + _local_acc(
+            pos, radius, src_pos, src_gm,
+            config=config, force_backend=force_backend,
+        )
+        if hop < n_devices - 1:
+            src_pos, src_gm = next_pos, next_gm
+    return acc * valid
+
+
 def _ring_step_shard(
     pos, vel, radius, gm_src, src_pos0, valid, dt,
     *, n_devices: int, config: SimConfig, force_backend: str
@@ -148,6 +169,11 @@ class ShardedWorld:
         self.config = config
         if force_backend is None:
             force_backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+        if force_backend == "pallas_ring" and config.integrator != "euler":
+            raise ValueError(
+                "pallas_ring integrates in-kernel (Euler only); use the "
+                "'jnp' or 'pallas' force backend with integrator='leapfrog'"
+            )
         self.force_backend = force_backend
 
         host = jax.tree.map(np.asarray, particles)
@@ -231,14 +257,40 @@ class ShardedWorld:
                 check_vma=False,
             )
 
+            force = functools.partial(
+                _ring_force_shard,
+                n_devices=d, config=config, force_backend=force_backend,
+            )
+            smapped_force = jax.shard_map(
+                lambda pos, radius, gm_src, src_pos0, valid: force(
+                    pos, radius, gm_src, src_pos0, valid
+                ),
+                mesh=mesh,
+                in_specs=(P(AXIS, None), P(AXIS), P(AXIS),
+                          P(AXIS, None), P(AXIS, None)),
+                out_specs=P(AXIS, None),
+                check_vma=False,
+            )
+
+            def gather_src(p):
+                # source shard = slice of the global massive prefix, gathered
+                # from the (possibly cross-shard) first src_len rows.
+                return jax.lax.with_sharding_constraint(
+                    p[:src_len], NamedSharding(mesh, P(AXIS, None))
+                )
+
             def body(_, carry):
                 pos, vel, acc = carry
-                # source shard = slice of the global massive prefix, gathered
-                # from the (possibly cross-shard) first src_len rows of pos.
-                src_pos0 = jax.lax.with_sharding_constraint(
-                    pos[:src_len], NamedSharding(mesh, P(AXIS, None))
-                )
-                pos, vel, acc = smapped(pos, vel, radius, gm_src, src_pos0, valid, dt)
+                if config.integrator == "leapfrog":
+                    # position-Verlet (DKD): force at the global midpoint
+                    pos_h = pos + (0.5 * dt) * vel
+                    acc = smapped_force(pos_h, radius, gm_src,
+                                        gather_src(pos_h), valid)
+                    vel = vel + dt * acc
+                    pos = pos_h + (0.5 * dt) * vel
+                else:
+                    pos, vel, acc = smapped(pos, vel, radius, gm_src,
+                                            gather_src(pos), valid, dt)
                 return pos, vel, acc
 
             return jax.lax.fori_loop(0, n, body, (pos, vel, acc))

@@ -134,6 +134,12 @@ class SimConfig:
     # particle_cs.glsl:42-48); False uses rsqrt^3, which on TPU is accurate to
     # ~1.4e-7 rel (measured vs fp64 — fp32 noise level) and ~45% faster.
     precise: bool = False
+    # Integrator: "euler" = the reference's semi-implicit Euler (v += a*dt;
+    # x += v*dt — sim_cpu.c:192-193), first order; "leapfrog" = position-
+    # Verlet / DKD (drift-kick-drift), second order and symplectic, one force
+    # evaluation per substep, no carried state. Beyond-reference option;
+    # default preserves exact reference semantics.
+    integrator: str = "euler"
 
 
 # Galaxy generation constants, mirroring include/galaxy.h:10-61.

@@ -78,6 +78,25 @@ def _step(
     all targets see the same pre-step source positions (the reference's
     re-pack-per-substep / double-buffer rule, world.c:101-107, sim_gpu.c:19)
     hold automatically since ``state.pos`` is read once, functionally."""
+    if config.integrator == "leapfrog":
+        if backend == "pallas_fused":
+            raise ValueError(
+                "pallas_fused integrates in-kernel (Euler only); use the "
+                "'jnp' or 'pallas' backend with integrator='leapfrog'"
+            )
+        # position-Verlet (DKD): drift half, kick from midpoint force, drift
+        # half — second-order symplectic, one force evaluation per substep
+        half = 0.5 * dt
+        pos_h = state.pos + half * state.vel
+        mid = Particles(pos=pos_h, vel=state.vel, acc=state.acc,
+                        mass=state.mass, radius=state.radius)
+        acc = _force(mid, gm, src_len=src_len, config=config,
+                     backend=backend, interpret=interpret) * valid
+        vel = state.vel + dt * acc
+        pos = pos_h + half * vel
+        return Particles(pos=pos, vel=vel, acc=acc,
+                         mass=state.mass, radius=state.radius)
+
     src_pos = state.pos[:src_len]
     src_gm = gm[:src_len]
     if backend == "pallas_fused":
@@ -93,8 +112,29 @@ def _step(
             precise=config.precise, interpret=interpret,
         )
         return Particles(pos=pos, vel=vel, acc=acc, mass=state.mass, radius=state.radius)
+    # Padding rows stay identically zero (replaces the shader's
+    # `if (i >= total_len) return` guard, particle_cs.glsl:30).
+    acc = _force(state, gm, src_len=src_len, config=config,
+                 backend=backend, interpret=interpret) * valid
+    vel = state.vel + dt * acc
+    pos = state.pos + dt * vel
+    return Particles(pos=pos, vel=vel, acc=acc, mass=state.mass, radius=state.radius)
+
+
+def _force(
+    state: Particles,
+    gm: jax.Array,
+    *,
+    src_len: int,
+    config: SimConfig,
+    backend: Backend,
+    interpret: bool | None,
+) -> jax.Array:
+    """Backend-dispatched direct-sum acceleration (unmasked)."""
+    src_pos = state.pos[:src_len]
+    src_gm = gm[:src_len]
     if backend == "pallas":
-        acc = pallas_acc(
+        return pallas_acc(
             state.pos,
             state.radius,
             src_pos,
@@ -104,20 +144,13 @@ def _step(
             precise=config.precise,
             interpret=interpret,
         )
-    elif backend == "jnp":
+    if backend == "jnp":
         chunk = min(config.tile_targets, state.n)
-        acc = forces.direct_sum_acc(
+        return forces.direct_sum_acc(
             state.pos, state.radius, src_pos, src_gm,
             chunk=chunk, precise=config.precise,
         )
-    else:
-        raise ValueError(f"unknown backend {backend!r}")
-    # Padding rows stay identically zero (replaces the shader's
-    # `if (i >= total_len) return` guard, particle_cs.glsl:30).
-    acc = acc * valid
-    vel = state.vel + dt * acc
-    pos = state.pos + dt * vel
-    return Particles(pos=pos, vel=vel, acc=acc, mass=state.mass, radius=state.radius)
+    raise ValueError(f"unknown backend {backend!r}")
 
 
 @functools.partial(

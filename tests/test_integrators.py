@@ -1,0 +1,92 @@
+"""Leapfrog (position-Verlet) integrator option: order-2 convergence, lower
+energy drift than Euler, backend/sharded parity. Default stays the
+reference's semi-implicit Euler (quirk #2)."""
+
+import numpy as np
+import pytest
+
+from nbody_tpu import G, create_world, make_galaxies, make_particles
+from nbody_tpu.diagnostics import total_energy
+from nbody_tpu.parallel.sharding import ShardedWorld, make_mesh
+from nbody_tpu.types import SimConfig
+from helpers import TINY
+
+LEAP = SimConfig(tile_targets=8, tile_sources=128, integrator="leapfrog")
+
+
+def two_body():
+    m = 1e6
+    d = 100.0
+    rho = 0.5
+    speed = np.sqrt(G * m * d * d / (d * d + rho) ** 1.5)
+    return make_particles(
+        np.array([[0.0, 0.0], [d, 0.0]], np.float32),
+        vel=np.array([[0.0, 0.0], [0.0, speed]], np.float32),
+        mass=np.array([m, 0.0], np.float32),
+        radius=np.array([1.0, rho], np.float32),
+    ), speed, d
+
+
+def test_default_is_euler_reference_semantics():
+    assert SimConfig().integrator == "euler"
+
+
+def test_leapfrog_orbit_radius_more_stable_than_euler():
+    p, speed, d = two_body()
+    period = 2 * np.pi * d / speed
+    dt = period / 300  # coarse on purpose
+
+    def final_radius(config):
+        w = create_world(p, config=config)
+        w.update(dt, 600, backend="jnp")  # two periods
+        tracer = np.asarray(w.particles.mass) == 0
+        return float(np.hypot(*np.asarray(w.particles.pos, np.float64)[tracer][0]))
+
+    err_euler = abs(final_radius(TINY) - d)
+    err_leap = abs(final_radius(LEAP) - d)
+    assert err_leap < 0.5 * err_euler, (err_leap, err_euler)
+
+
+def test_energy_drift_lower_than_euler():
+    scene = make_galaxies(150, 1, seed=5)
+    drifts = {}
+    for name, cfg in (("euler", TINY), ("leapfrog", LEAP)):
+        w = create_world(scene, config=cfg)
+        e0 = float(total_energy(w.state.slice_to(w.total_len), w.mass_len))
+        w.update(0.02, 300, backend="jnp")  # deliberately coarse dt
+        e1 = float(total_energy(w.state.slice_to(w.total_len), w.mass_len))
+        drifts[name] = abs(e1 - e0) / abs(e0)
+    assert drifts["leapfrog"] < drifts["euler"]
+
+
+def test_backend_parity_leapfrog():
+    scene = make_galaxies(200, 1, seed=9)
+    w1 = create_world(scene, config=LEAP)
+    w2 = create_world(scene, config=LEAP)
+    w1.update(0.01, 5, backend="jnp")
+    w2.update(0.01, 5, backend="pallas")
+    np.testing.assert_allclose(
+        np.asarray(w1.particles.pos), np.asarray(w2.particles.pos),
+        rtol=2e-4, atol=2e-3,
+    )
+
+
+def test_sharded_leapfrog_matches_single_device():
+    scene = make_galaxies(250, 1, seed=11)
+    sw = ShardedWorld(scene, make_mesh(4), config=LEAP, force_backend="jnp")
+    w = create_world(scene, config=LEAP)
+    sw.update(0.01, 4)
+    w.update(0.01, 4, backend="jnp")
+    np.testing.assert_allclose(
+        np.asarray(sw.particles.pos), np.asarray(w.particles.pos),
+        rtol=3e-4, atol=3e-3,
+    )
+
+
+def test_fused_backends_reject_leapfrog():
+    w = create_world(make_galaxies(200, 1, seed=1), config=LEAP)
+    with pytest.raises(ValueError, match="Euler only"):
+        w.update(0.01, 1, backend="pallas_fused")
+    with pytest.raises(ValueError, match="Euler only"):
+        ShardedWorld(make_galaxies(200, 1, seed=1), make_mesh(2),
+                     config=LEAP, force_backend="pallas_ring")
