@@ -35,6 +35,8 @@ def _add_scene_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--dt", type=float, default=PHYS_STEP)
     p.add_argument("--precise", action="store_true",
                    help="exact sqrt+divide force math (reference shader semantics)")
+    p.add_argument("--integrator", choices=["euler", "leapfrog"], default="euler",
+                   help="euler = reference-exact; leapfrog = 2nd-order symplectic")
 
 
 def _make_world(args):
@@ -42,7 +44,7 @@ def _make_world(args):
         particles, _ = load_particles(args.state)
     else:
         particles = make_galaxies(args.n, args.galaxies, seed=args.seed)
-    config = SimConfig(precise=True) if args.precise else SimConfig()
+    config = SimConfig(precise=args.precise, integrator=args.integrator)
     return create_world(particles, config=config, default_backend=args.backend)
 
 
