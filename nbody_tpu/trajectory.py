@@ -62,10 +62,13 @@ def record_trajectory(
     """Advance `world` by frames*steps_per_frame substeps, returning captured
     positions as host (frames, total_len, 2). The world's state is updated."""
     backend = backend or world.default_backend
+    from .world import effective_src_len
+
     state, traj = record_states(
         world.state, world.gm, world.valid, jnp.float32(dt),
         frames=frames, steps_per_frame=steps_per_frame,
-        src_len=world.src_len, config=world.config, backend=backend,
+        src_len=effective_src_len(backend, world.src_len, world.mass_len),
+        config=world.config, backend=backend,
     )
     world.state = state
     world._host_cache = None

@@ -153,6 +153,15 @@ def _force(
     raise ValueError(f"unknown backend {backend!r}")
 
 
+def effective_src_len(backend: Backend, src_len: int, mass_len: int) -> int:
+    """The jnp backend has no tile-alignment requirement on the source row,
+    so it skips the zero-mass alignment padding entirely (~6% less compute
+    at N=65k); the Pallas kernels need the padded length."""
+    if backend == "jnp":
+        return max(mass_len, 1)
+    return src_len
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("src_len", "config", "backend", "interpret"),
@@ -251,7 +260,7 @@ class World:
             self.valid,
             jnp.float32(dt),
             jnp.int32(n),
-            src_len=self.src_len,
+            src_len=effective_src_len(backend, self.src_len, self.mass_len),
             config=self.config,
             backend=backend,
         )
