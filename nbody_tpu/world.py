@@ -44,14 +44,18 @@ from .types import (
 Backend = Literal["jnp", "pallas", "pallas_fused"]
 
 
-# Measured backend crossover on TPU v5e (docs/BENCHMARKS.md): XLA's fused jnp
-# path holds a small lead up to ~262k; the Pallas grid kernel wins at ~1M.
-# (The reference's analogous heuristic: GPU above N ~ 500, main.c:55.)
-PALLAS_CROSSOVER_N = 524288
+# Measured on TPU v5e (docs/BENCHMARKS.md): with sources sliced to exactly
+# mass_len (no tile alignment), the XLA-fused jnp path leads the Pallas grid
+# kernel at every ladder size (2.4-2.5e11 vs 2.1-2.4e11 pairs/s), so it is
+# the default everywhere; the Pallas kernels remain the engine of the fused
+# multi-chip ring and available per-call. (The reference's analogous
+# heuristic: GPU above N ~ 500, main.c:55.)
+PALLAS_CROSSOVER_N = None  # no single-chip crossover observed
 
 
 def default_backend_for(n: int) -> "Backend":
-    return "pallas" if n >= PALLAS_CROSSOVER_N else "jnp"
+    del n
+    return "jnp"
 
 
 def partition_massive_first(mass: np.ndarray) -> tuple[np.ndarray, int]:

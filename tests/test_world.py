@@ -137,13 +137,11 @@ def test_get_particles_fresh_after_each_update():
 
 
 def test_default_backend_heuristic():
-    # measured crossover: jnp below ~512k, pallas above (docs/BENCHMARKS.md)
-    from nbody_tpu.world import PALLAS_CROSSOVER_N, default_backend_for
+    # measured: jnp leads at every ladder size (docs/BENCHMARKS.md)
+    from nbody_tpu.world import default_backend_for
 
     assert default_backend_for(600) == "jnp"
-    assert default_backend_for(PALLAS_CROSSOVER_N - 1) == "jnp"
-    assert default_backend_for(PALLAS_CROSSOVER_N) == "pallas"
-    assert default_backend_for(2 * PALLAS_CROSSOVER_N) == "pallas"
+    assert default_backend_for(2_000_000) == "jnp"
     # World uses the heuristic and honors explicit overrides
     small = create_world(random_particles(600), config=TINY)
     assert small.default_backend == "jnp"
