@@ -2,7 +2,8 @@
 
 This is the TPU framework's counterpart of the reference CPU backend
 (``src/lib/sim_cpu.c:156-194``) and the force loop of the GPU shader
-(``src/shader/particle_cs.glsl:35-49``). Physics semantics preserved exactly:
+(``src/shader/particle_cs.glsl:35-49``). With ``precise=True`` the math is
+reference-exact (sqrt + divide, particle_cs.glsl:42-48):
 
   radv    = pos_source - pos_target
   dist_sq = dot(radv, radv)
@@ -16,6 +17,14 @@ particle_cs.glsl:35); every particle moves. Self-interaction contributes zero
 because radv == 0 (no special casing, matching the reference). Zero-mass
 padding sources likewise contribute zero (the reference's zero-pad trick,
 sim_cpu.c:133-142).
+
+``precise`` convention (one switch, two layers): the math-layer functions in
+this module and ``autodiff.rollout`` default to ``precise=True``
+(reference-exact — they double as parity oracles), while the production
+``SimConfig.precise`` defaults to ``False`` (rsqrt^3: ≤1.4e-7 relative error
+vs fp64, ~45% faster on TPU — see PARITY.md). Anything driven by a SimConfig
+inherits the production default; anything calling this module directly gets
+reference semantics unless it opts out.
 """
 
 from __future__ import annotations

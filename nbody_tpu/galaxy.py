@@ -135,7 +135,11 @@ def make_galaxies(
         r = b * t
         # non-uniform jitter keeps arms coherent (galaxy.c:164-171)
         t_off = rng.uniform(0.0, 0.6 * np.sqrt(spiral_angle_dist), size=m)
-        r_off = rng.uniform(0.0, 0.6 * np.sqrt(np.minimum(b, r - min_dist[i])), size=m)
+        # clamp to 0: r = b*t can land 1 ulp below min_dist when t ~ t0
+        # (matches cpp/galaxy_gen.cpp fmax and models/galaxy_device.py maximum)
+        r_off = rng.uniform(
+            0.0, 0.6 * np.sqrt(np.maximum(np.minimum(b, r - min_dist[i]), 0.0)), size=m
+        )
         r_sign = np.where(rng.integers(0, 2, size=m) == 1, 1.0, -1.0)
         t_sign = np.where(rng.integers(0, 2, size=m) == 1, 1.0, -1.0)
         dist = r + r_sign * r_off * r_off

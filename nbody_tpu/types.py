@@ -141,6 +141,17 @@ class SimConfig:
     # default preserves exact reference semantics.
     integrator: str = "euler"
 
+    def __post_init__(self):
+        if self.integrator not in ("euler", "leapfrog"):
+            raise ValueError(
+                f"integrator must be 'euler' or 'leapfrog', got {self.integrator!r}"
+            )
+        if self.tile_targets % 8 or self.tile_sources % 128:
+            raise ValueError(
+                f"tile_targets must be a multiple of 8 and tile_sources a "
+                f"multiple of 128, got {self.tile_targets}x{self.tile_sources}"
+            )
+
 
 # Galaxy generation constants, mirroring include/galaxy.h:10-61.
 @dataclass(frozen=True)

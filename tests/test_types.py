@@ -59,3 +59,20 @@ def test_round_up():
     assert round_up(1, 8) == 8
     assert round_up(8, 8) == 8
     assert round_up(129, 128) == 256
+
+
+def test_sim_config_validation():
+    # integrator names outside {euler, leapfrog} must fail loudly, not fall
+    # through to the Euler branch (ADVICE r1)
+    from nbody_tpu.types import SimConfig
+
+    SimConfig(integrator="euler")
+    SimConfig(integrator="leapfrog")
+    with pytest.raises(ValueError, match="integrator"):
+        SimConfig(integrator="verlet")
+    with pytest.raises(ValueError, match="integrator"):
+        SimConfig(integrator="Leapfrog")
+    with pytest.raises(ValueError, match="tile"):
+        SimConfig(tile_targets=7)
+    with pytest.raises(ValueError, match="tile"):
+        SimConfig(tile_sources=100)
