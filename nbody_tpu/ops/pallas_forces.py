@@ -1,4 +1,4 @@
-"""Tiled O(N*M) pairwise-gravity Pallas TPU kernel.
+"""Tiled O(N*M) pairwise-gravity Pallas TPU kernel (v2, round 2).
 
 TPU-native counterpart of the reference's Vulkan compute shader
 (``src/shader/particle_cs.glsl:28-55``) and its dispatch machinery
@@ -6,20 +6,39 @@ TPU-native counterpart of the reference's Vulkan compute shader
 
   radv = src - tgt; r2 = |radv|^2 + tgt.radius;  acc += radv * G*m / r2^{3/2}
 
-Design (instead of one GPU invocation per particle with an O(mass_len) scalar
-loop): a 2D Pallas grid over (target-tile, source-tile). Each program holds a
-(TT, 1) column of targets and a (1, TS) row of sources in VMEM and computes the
-full (TT, TS) pairwise interaction block on the VPU, accumulating into a
-(TT, 1) output block that is revisited across the source dimension (the
-innermost grid axis, so the accumulator stays VMEM-resident). Arithmetic
-intensity is ~TT flops per streamed source byte, so the kernel is
-compute-bound for any reasonable TT.
+Design (v2 — what round-1 measurement taught us):
 
-The ``mass_len`` boundary is handled with the reference's own zero-pad trick
-(``sim_cpu.c:133-142``): sources beyond ``mass_len`` carry ``gm == 0`` and
-contribute exactly zero — no branches in the kernel. The ``total_len`` guard
-(``particle_cs.glsl:30``) becomes padded target rows whose output is masked by
-the integrator.
+  * Grid over TARGET tiles only ("parallel"); the (3, S) source panel
+    (x, y, G*mass rows) sits VMEM-resident and an in-kernel ``fori_loop``
+    walks it in ``chunk``-wide slices. This removes the per-(i, j)-grid-step
+    costs of the round-1 2D grid (~0.5 µs/step x 2176 steps at N=65k).
+  * EXACT ``mass_len`` sources: the source row is padded to the 128-lane
+    minimum only (not to ``tile_sources``), and a statically-sized tail
+    chunk handles the remainder — the reference kernel's exact loop bound
+    (``particle_cs.glsl:35``), which the round-1 kernel lacked (it forced
+    ~6% dead work at N=65k and lost its own benchmark to XLA).
+  * Accumulation into (tile_t, 128) vreg-column partial sums via 128-wide
+    slice multiply-adds (FMA-friendly), with the cross-lane reduction
+    deferred to once per target tile — measurably cheaper than a full
+    ``jnp.sum`` per chunk, and it lowers live-temp pressure enough to run
+    (1024 x 2048) blocks inside the 16 MB VMEM budget.
+  * Target rows arrive as a packed (6, tile_t) block ((1, x)-row layout; a
+    (T, 1) column layout lane-pads 128x in VMEM) and are transposed to
+    (tile_t, 1) columns in-kernel — once per tile, amortized over S.
+  * Optional fused integration epilogue: semi-implicit Euler
+    (``particle_cs.glsl:51-52``) or the second half of position-Verlet
+    (``pos_dt=0.5``) applied in-kernel, so ``backend="pallas"`` is ONE
+    kernel launch per substep with no XLA glue.
+  * Sources beyond the VMEM residency budget stream through a second grid
+    dimension with BlockSpec pipelining (double-buffered HBM->VMEM), with
+    the accumulator carried across source steps in scratch — sources
+    unlimited; tail padding there is <= tile_sources/S (~0.4% at N=1M).
+
+The ``mass_len`` boundary inside a 128-lane tail is handled with the
+reference's own zero-pad trick (``sim_cpu.c:133-142``): padding sources
+carry ``gm == 0`` and contribute exactly zero. The ``total_len`` guard
+(``particle_cs.glsl:30``) is the caller's validity mask on padded target
+rows (masked in the epilogue here when integrating).
 """
 
 from __future__ import annotations
@@ -37,50 +56,260 @@ from ..types import DTYPE
 TARGET_ALIGN = 8
 SOURCE_ALIGN = 128
 
+# Largest source count kept fully VMEM-resident as a (3->8, S) panel
+# (32 B/source after sublane padding). Above this the kernel streams source
+# tiles through the second grid dimension. Validated on v5e (16 MB VMEM)
+# together with the default (1024, 2048) compute tile.
+RESIDENT_SOURCE_MAX = 131072
 
-def _acc_kernel(tx_ref, ty_ref, tr_ref, sx_ref, sy_ref, sgm_ref, ax_ref, ay_ref, *, precise: bool):
-    j = pl.program_id(1)
 
-    @pl.when(j == 0)
-    def _():
-        ax_ref[:] = jnp.zeros_like(ax_ref)
-        ay_ref[:] = jnp.zeros_like(ay_ref)
+def _substep_kernel(
+    dt_ref,      # (1, 1) SMEM
+    tgt_ref,     # (6, tile_t) VMEM: pos x, pos y, radius, vel x, vel y, valid
+    src_ref,     # (3, s_blk) VMEM: x, y, gm
+    *out_refs,   # acc (2, tile_t) [+ pos (2, tile_t), vel (2, tile_t)]
+    chunk: int,
+    n_full: int,
+    tail: int,
+    n_j: int,
+    precise: bool,
+    integrate: bool,
+    pos_dt: float,
+):
+    if n_j > 1:
+        j = pl.program_id(1)
+        ax_scr, ay_scr = out_refs[-2:]
+        out_refs = out_refs[:-2]
+    tx = jnp.transpose(tgt_ref[0:1, :])  # (tile_t, 1)
+    ty = jnp.transpose(tgt_ref[1:2, :])
+    tr = jnp.transpose(tgt_ref[2:3, :])
+    tile_t = tx.shape[0]
 
-    # (TT, 1) op (1, TS) -> (TT, TS) broadcast on the VPU.
-    dx = sx_ref[:] - tx_ref[:]
-    dy = sy_ref[:] - ty_ref[:]
-    dist_sq = dx * dx + dy * dy
-    r2 = dist_sq + tr_ref[:]  # softened: + target radius (particle_cs.glsl:41)
-    if precise:
-        # Exact sqrt + divide, matching the shader (particle_cs.glsl:42-48).
-        f = sgm_ref[:] / (jnp.sqrt(r2) * r2)
+    def block(off, size, ax, ay):
+        sx = src_ref[0:1, pl.ds(off, size)]
+        sy = src_ref[1:2, pl.ds(off, size)]
+        gm = src_ref[2:3, pl.ds(off, size)]
+        dx = sx - tx
+        dy = sy - ty
+        r2 = dx * dx + dy * dy + tr  # softened: + target radius (glsl:41)
+        if precise:
+            # Exact sqrt + divide, matching the shader (glsl:42-48).
+            f = gm / (jnp.sqrt(r2) * r2)
+        else:
+            inv = jax.lax.rsqrt(r2)
+            f = gm * (inv * inv * inv)
+        # 128-wide slice multiply-adds into vreg-column partials.
+        for k in range(size // 128):
+            a, b = k * 128, (k + 1) * 128
+            ax = ax + dx[:, a:b] * f[:, a:b]
+            ay = ay + dy[:, a:b] * f[:, a:b]
+        return ax, ay
+
+    if n_j > 1:
+        @pl.when(j == 0)
+        def _():
+            ax_scr[:] = jnp.zeros_like(ax_scr)
+            ay_scr[:] = jnp.zeros_like(ay_scr)
+        ax0, ay0 = ax_scr[:], ay_scr[:]
     else:
-        inv = jax.lax.rsqrt(r2)
-        f = sgm_ref[:] * (inv * inv * inv)
-    ax_ref[:] += jnp.sum(dx * f, axis=1, keepdims=True)
-    ay_ref[:] += jnp.sum(dy * f, axis=1, keepdims=True)
+        ax0 = jnp.zeros((tile_t, 128), DTYPE)
+        ay0 = jnp.zeros_like(ax0)
+
+    ax, ay = jax.lax.fori_loop(
+        0, n_full, lambda c, car: block(c * chunk, chunk, car[0], car[1]),
+        (ax0, ay0))
+    if tail:
+        ax, ay = block(n_full * chunk, tail, ax, ay)
+
+    def finalize():
+        arow = jnp.transpose(jnp.sum(ax, axis=1, keepdims=True))  # (1, tile_t)
+        brow = jnp.transpose(jnp.sum(ay, axis=1, keepdims=True))
+        if integrate:
+            # padding rows masked (the shader's total_len guard, glsl:30)
+            valid = tgt_ref[5:6, :]
+            arow = arow * valid
+            brow = brow * valid
+            dt = dt_ref[0, 0]
+            nvx = tgt_ref[3:4, :] + dt * arow
+            nvy = tgt_ref[4:5, :] + dt * brow
+            acc_ref, pos_ref, vel_ref = out_refs
+            pdt = pos_dt * dt
+            pos_ref[0:1, :] = tgt_ref[0:1, :] + pdt * nvx
+            pos_ref[1:2, :] = tgt_ref[1:2, :] + pdt * nvy
+            vel_ref[0:1, :] = nvx
+            vel_ref[1:2, :] = nvy
+            acc_ref[0:1, :] = arow
+            acc_ref[1:2, :] = brow
+        else:
+            (acc_ref,) = out_refs
+            acc_ref[0:1, :] = arow
+            acc_ref[1:2, :] = brow
+
+    if n_j > 1:
+        @pl.when(j < n_j - 1)
+        def _():
+            ax_scr[:] = ax
+            ay_scr[:] = ay
+
+        @pl.when(j == n_j - 1)
+        def _():
+            finalize()
+    else:
+        finalize()
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_targets", "tile_sources", "precise", "interpret")
+    jax.jit,
+    static_argnames=("tile_targets", "tile_sources", "precise", "integrate",
+                     "pos_dt", "interpret"),
 )
+def _substep_call(
+    dt: jax.Array,
+    tgt: jax.Array,    # (6, T) rows: pos x, pos y, radius, vel x, vel y, valid
+    src: jax.Array,    # (3, S) rows: x, y, gm (zero-padded to 128 lanes)
+    *,
+    tile_targets: int,
+    tile_sources: int,
+    precise: bool,
+    integrate: bool,
+    pos_dt: float,
+    interpret: bool | None,
+):
+    t = tgt.shape[1]
+    s = src.shape[1]
+    tile_t = min(tile_targets, t)
+    # Short source rows collapse the chunk loop (n_full <= 1), which widens
+    # Mosaic live ranges enough that a (1024, 2048) block overflows the 16MB
+    # scoped-VMEM budget (measured: +96KB at T=4096, S=2048). Cap the target
+    # tile at 512 there; the loss is negligible at those latency-bound sizes.
+    if s <= 4096:
+        tile_t = min(tile_t, 512)
+    while t % tile_t and tile_t > TARGET_ALIGN:
+        tile_t //= 2
+    if t % tile_t or tile_t % TARGET_ALIGN:
+        raise ValueError(
+            f"T={t} must be divisible by a tile <= tile_targets={tile_targets} "
+            f"(align {TARGET_ALIGN})")
+    if s % SOURCE_ALIGN:
+        raise ValueError(f"S={s} must be a multiple of {SOURCE_ALIGN}")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    resident = s <= max(RESIDENT_SOURCE_MAX, tile_sources)
+    if resident:
+        n_j = 1
+        s_blk = s
+        chunk = min(tile_sources, s)
+        n_full, tail = divmod(s, chunk)
+    else:
+        s_blk = tile_sources
+        if s % s_blk:
+            raise ValueError(
+                f"streaming sources: S={s} must be a multiple of "
+                f"tile_sources={s_blk}")
+        n_j = s // s_blk
+        chunk = s_blk
+        n_full, tail = 1, 0
+
+    kernel = functools.partial(
+        _substep_kernel, chunk=chunk, n_full=n_full, tail=tail, n_j=n_j,
+        precise=precise, integrate=integrate, pos_dt=pos_dt)
+
+    n_out = 3 if integrate else 1
+    pairs = t * s
+    cost = pl.CostEstimate(
+        flops=13 * pairs,
+        bytes_accessed=(6 * t + 3 * s + 2 * n_out * t) * 4,
+        transcendentals=pairs,
+    )
+    if n_j == 1:
+        grid = (t // tile_t,)
+        tgt_spec = pl.BlockSpec((6, tile_t), lambda i: (0, i), memory_space=pltpu.VMEM)
+        src_spec = pl.BlockSpec((3, s_blk), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        out_spec = [pl.BlockSpec((2, tile_t), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM)] * n_out
+        scratch = []
+        semantics = ("parallel",)
+    else:
+        grid = (t // tile_t, n_j)
+        tgt_spec = pl.BlockSpec((6, tile_t), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+        src_spec = pl.BlockSpec((3, s_blk), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+        out_spec = [pl.BlockSpec((2, tile_t), lambda i, j: (0, i),
+                                 memory_space=pltpu.VMEM)] * n_out
+        scratch = [pltpu.VMEM((tile_t, 128), DTYPE)] * 2
+        semantics = ("parallel", "arbitrary")
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), tgt_spec, src_spec],
+        out_specs=out_spec,
+        out_shape=[jax.ShapeDtypeStruct((2, t), DTYPE)] * n_out,
+        scratch_shapes=scratch,
+        cost_estimate=cost,
+        compiler_params=pltpu.CompilerParams(dimension_semantics=semantics),
+        interpret=interpret,
+    )(jnp.asarray(dt, DTYPE).reshape(1, 1), tgt, src)
+    return out
+
+
+def _rows_to_cols(rows: jax.Array) -> jax.Array:
+    return jnp.transpose(rows)  # (2, T) -> (T, 2)
+
+
+def fused_substep(
+    dt,
+    pos: jax.Array,      # (T, 2)
+    vel: jax.Array,      # (T, 2)
+    radius: jax.Array,   # (T,)
+    valid: jax.Array,    # (T, 1)
+    src: jax.Array,      # (3, S): x, y, gm
+    *,
+    tile_targets: int = 1024,
+    tile_sources: int = 2048,
+    precise: bool = False,
+    pos_dt: float = 1.0,
+    interpret: bool | None = None,
+):
+    """One fused substep (force + integrate) in a single kernel launch.
+
+    ``pos_dt=1.0`` gives the reference's semi-implicit Euler
+    (``v += a*dt; x += v*dt``, particle_cs.glsl:51-52). ``pos_dt=0.5`` is
+    the kick-plus-half-drift used as the second half of position-Verlet
+    (the caller pre-drifts positions by dt/2).
+
+    Returns (new_pos, new_vel, acc), each (T, 2).
+    """
+    tgt = jnp.concatenate(
+        [jnp.transpose(pos), radius[None, :], jnp.transpose(vel),
+         jnp.transpose(valid)], axis=0)
+    acc, npos, nvel = _substep_call(
+        dt, tgt, src,
+        tile_targets=tile_targets, tile_sources=tile_sources,
+        precise=precise, integrate=True, pos_dt=pos_dt, interpret=interpret)
+    return _rows_to_cols(npos), _rows_to_cols(nvel), _rows_to_cols(acc)
+
+
 def pallas_acc(
     tgt_pos: jax.Array,
     tgt_radius: jax.Array,
     src_pos: jax.Array,
     src_gm: jax.Array,
     *,
-    tile_targets: int = 512,
+    tile_targets: int = 1024,
     tile_sources: int = 2048,
     precise: bool = False,
     interpret: bool | None = None,
 ) -> jax.Array:
-    """Compute accelerations with the tiled Pallas kernel.
+    """Compute accelerations with the tiled Pallas kernel (no integration).
 
     Args:
-      tgt_pos: (T, 2) target positions; T must be a multiple of tile_targets.
+      tgt_pos: (T, 2) target positions; T must be a multiple of
+        min(tile_targets, T).
       tgt_radius: (T,) target radii.
-      src_pos: (S, 2) source positions; S must be a multiple of tile_sources.
+      src_pos: (S, 2) source positions; S must be a multiple of 128
+        (SOURCE_ALIGN). Exact-source semantics: no tile_sources padding
+        required (particle_cs.glsl:35 loops to mass_len exactly).
       src_gm: (S,) G*mass per source, zero for padding / non-exerting rows.
       interpret: run in interpreter mode (auto-on for non-TPU backends so the
         same code path is testable on the CPU mesh).
@@ -89,57 +318,21 @@ def pallas_acc(
       (T, 2) fp32 accelerations.
     """
     t = tgt_pos.shape[0]
-    s = src_pos.shape[0]
-    tile_targets = min(tile_targets, t)
-    tile_sources = min(tile_sources, s)
-    if t % tile_targets or tile_targets % TARGET_ALIGN:
-        raise ValueError(f"T={t} must be a multiple of tile_targets={tile_targets} (align {TARGET_ALIGN})")
-    if s % tile_sources or tile_sources % SOURCE_ALIGN:
-        raise ValueError(f"S={s} must be a multiple of tile_sources={tile_sources} (align {SOURCE_ALIGN})")
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-
-    tx = tgt_pos[:, 0:1]  # (T, 1)
-    ty = tgt_pos[:, 1:2]
-    tr = tgt_radius[:, None]
-    sx = src_pos[None, :, 0]  # (1, S)
-    sy = src_pos[None, :, 1]
-    sgm = src_gm[None, :]
-
-    grid = (t // tile_targets, s // tile_sources)
-    tgt_spec = pl.BlockSpec((tile_targets, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
-    src_spec = pl.BlockSpec((1, tile_sources), lambda i, j: (0, j), memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((tile_targets, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
-
-    kernel = functools.partial(_acc_kernel, precise=precise)
-    pairs = t * s
-    cost = pl.CostEstimate(
-        flops=13 * pairs,
-        bytes_accessed=(3 * t + 3 * s + 2 * t) * 4,
-        transcendentals=pairs,
-    )
-    compiler_params = pltpu.CompilerParams(
-        dimension_semantics=("parallel", "arbitrary"),
-    )
-    ax, ay = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[tgt_spec, tgt_spec, tgt_spec, src_spec, src_spec, src_spec],
-        out_specs=[out_spec, out_spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((t, 1), DTYPE),
-            jax.ShapeDtypeStruct((t, 1), DTYPE),
-        ],
-        cost_estimate=cost,
-        compiler_params=compiler_params,
-        interpret=interpret,
-    )(tx, ty, tr, sx, sy, sgm)
-    return jnp.concatenate([ax, ay], axis=1)
+    tgt = jnp.concatenate(
+        [jnp.transpose(tgt_pos), tgt_radius[None, :],
+         jnp.zeros((3, t), DTYPE)], axis=0)
+    src = jnp.concatenate(
+        [jnp.transpose(src_pos), src_gm[None, :]], axis=0)
+    (acc,) = _substep_call(
+        jnp.float32(0.0), tgt, src,
+        tile_targets=tile_targets, tile_sources=tile_sources,
+        precise=precise, integrate=False, pos_dt=1.0, interpret=interpret)
+    return _rows_to_cols(acc)
 
 
 @functools.lru_cache(maxsize=None)
 def make_differentiable_acc(
-    tile_targets: int = 512,
+    tile_targets: int = 1024,
     tile_sources: int = 2048,
     precise: bool = False,
     interpret: bool | None = None,

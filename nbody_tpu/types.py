@@ -125,11 +125,16 @@ class SimConfig:
     """
 
     g: float = G
-    # Target-tile / source-tile sizes for the Pallas kernel. Defaults tuned on
-    # TPU v5e at N=65k (scripts/tune_kernel.py): 512x2048 fp32 blocks fill
-    # VMEM (~4MB temporaries) without hitting the 16MB scoped limit.
+    # tile_targets: target-chunk for the jnp backend (lax.map tile) and the
+    # ring kernel; also the padding granule for world state. tile_sources:
+    # source-chunk for all kernels. kernel_tile_targets: target tile of the
+    # fused single-chip Pallas kernel (it halves itself until it divides the
+    # padded N). Defaults tuned on TPU v5e at N=65k (scripts/tune_r2*.py):
+    # the fused kernel runs (1024 x 2048) blocks with 128-wide slice FMAs
+    # within the 16MB VMEM limit.
     tile_targets: int = 512
     tile_sources: int = 2048
+    kernel_tile_targets: int = 1024
     # precise=True uses exact sqrt+divide (matching the reference shader,
     # particle_cs.glsl:42-48); False uses rsqrt^3, which on TPU is accurate to
     # ~1.4e-7 rel (measured vs fp64 — fp32 noise level) and ~45% faster.
@@ -146,10 +151,12 @@ class SimConfig:
             raise ValueError(
                 f"integrator must be 'euler' or 'leapfrog', got {self.integrator!r}"
             )
-        if self.tile_targets % 8 or self.tile_sources % 128:
+        if (self.tile_targets % 8 or self.tile_sources % 128
+                or self.kernel_tile_targets % 8):
             raise ValueError(
-                f"tile_targets must be a multiple of 8 and tile_sources a "
-                f"multiple of 128, got {self.tile_targets}x{self.tile_sources}"
+                f"tile_targets/kernel_tile_targets must be multiples of 8 and "
+                f"tile_sources a multiple of 128, got "
+                f"{self.tile_targets}/{self.kernel_tile_targets}x{self.tile_sources}"
             )
 
 

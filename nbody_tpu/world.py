@@ -33,29 +33,49 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import forces
-from .ops.pallas_forces import SOURCE_ALIGN, pallas_acc
+from .ops.pallas_forces import (
+    RESIDENT_SOURCE_MAX,
+    SOURCE_ALIGN,
+    fused_substep,
+    pallas_acc,
+)
 from .types import (
     DEFAULT_SIM_CONFIG,
     Particles,
     SimConfig,
     pad_to_tiles,
+    round_up,
 )
 
 Backend = Literal["jnp", "pallas", "pallas_fused"]
 
 
-# Measured on TPU v5e (docs/BENCHMARKS.md): with sources sliced to exactly
-# mass_len (no tile alignment), the XLA-fused jnp path leads the Pallas grid
-# kernel at every ladder size (2.4-2.5e11 vs 2.1-2.4e11 pairs/s), so it is
-# the default everywhere; the Pallas kernels remain the engine of the fused
-# multi-chip ring and available per-call. (The reference's analogous
-# heuristic: GPU above N ~ 500, main.c:55.)
-PALLAS_CROSSOVER_N = None  # no single-chip crossover observed
+# Measured on TPU v5e (docs/BENCHMARKS.md, docs/DESIGN.md §3): the round-2
+# fused Pallas kernel (exact mass_len sources, one launch per substep,
+# streamed sources at huge N) runs within ~1-5% of the XLA-fused jnp path at
+# 50k-262k but never ahead of it in same-run comparisons, so jnp remains the
+# default at every size. Both paths are elementwise-bound at the same VPU
+# ceiling; XLA's fusion avoids ~1 broadcast-materialization pass per pair
+# that Mosaic pays. (The reference's analogous heuristic: GPU above N ~ 500,
+# main.c:55.)
+PALLAS_CROSSOVER_N = None  # no measured size where the kernel leads
 
 
 def default_backend_for(n: int) -> "Backend":
-    del n
-    return "jnp"
+    if PALLAS_CROSSOVER_N is None:
+        return "jnp"
+    return "pallas" if n >= PALLAS_CROSSOVER_N else "jnp"
+
+
+def source_pad_len(mass_len: int, tile_sources: int) -> int:
+    """Padded source-row length for the Pallas kernels.
+
+    Resident sources need only the 128-lane alignment (exact-source
+    semantics, particle_cs.glsl:35); streamed sources (beyond the VMEM
+    residency budget) pad to the streaming block (<= ~0.8% dead work)."""
+    if mass_len <= max(RESIDENT_SOURCE_MAX, tile_sources):
+        return round_up(max(mass_len, 1), SOURCE_ALIGN)
+    return round_up(mass_len, tile_sources)
 
 
 def partition_massive_first(mass: np.ndarray) -> tuple[np.ndarray, int]:
@@ -82,12 +102,30 @@ def _step(
     all targets see the same pre-step source positions (the reference's
     re-pack-per-substep / double-buffer rule, world.c:101-107, sim_gpu.c:19)
     hold automatically since ``state.pos`` is read once, functionally."""
-    if config.integrator == "leapfrog":
-        if backend == "pallas_fused":
-            raise ValueError(
-                "pallas_fused integrates in-kernel (Euler only); use the "
-                "'jnp' or 'pallas' backend with integrator='leapfrog'"
-            )
+    leapfrog = config.integrator == "leapfrog"
+    if backend in ("pallas", "pallas_fused"):
+        # whole substep (force + integrate) in ONE kernel launch
+        # (ops/pallas_forces.fused_substep). "pallas_fused" is an alias —
+        # since round 2 the flagship kernel integrates in-kernel natively.
+        pos_in = state.pos
+        if leapfrog:
+            # position-Verlet (DKD): drift half outside (one cheap fused
+            # elementwise pass), kick + half-drift inside the kernel.
+            pos_in = state.pos + (0.5 * dt) * state.vel
+        src = jnp.concatenate(
+            [jnp.transpose(pos_in[:src_len]), gm[None, :src_len]], axis=0)
+        pos, vel, acc = fused_substep(
+            dt, pos_in, state.vel, state.radius, valid, src,
+            tile_targets=config.kernel_tile_targets,
+            tile_sources=config.tile_sources,
+            precise=config.precise,
+            pos_dt=0.5 if leapfrog else 1.0,
+            interpret=interpret,
+        )
+        return Particles(pos=pos, vel=vel, acc=acc,
+                         mass=state.mass, radius=state.radius)
+
+    if leapfrog:
         # position-Verlet (DKD): drift half, kick from midpoint force, drift
         # half — second-order symplectic, one force evaluation per substep
         half = 0.5 * dt
@@ -101,21 +139,6 @@ def _step(
         return Particles(pos=pos, vel=vel, acc=acc,
                          mass=state.mass, radius=state.radius)
 
-    src_pos = state.pos[:src_len]
-    src_gm = gm[:src_len]
-    if backend == "pallas_fused":
-        # whole substep (force + integrate) in ONE kernel launch — minimizes
-        # per-substep overhead at small N (see docs/BENCHMARKS.md)
-        from .ops.ring_forces import ring_substep
-
-        src = jnp.stack([src_pos[:, 0], src_pos[:, 1], src_gm], axis=0)
-        pos, vel, acc = ring_substep(
-            dt, state.pos, state.vel, state.radius, valid, src,
-            axis=None, n_devices=1,
-            tile_t=config.tile_targets, tile_s=config.tile_sources,
-            precise=config.precise, interpret=interpret,
-        )
-        return Particles(pos=pos, vel=vel, acc=acc, mass=state.mass, radius=state.radius)
     # Padding rows stay identically zero (replaces the shader's
     # `if (i >= total_len) return` guard, particle_cs.glsl:30).
     acc = _force(state, gm, src_len=src_len, config=config,
@@ -137,13 +160,13 @@ def _force(
     """Backend-dispatched direct-sum acceleration (unmasked)."""
     src_pos = state.pos[:src_len]
     src_gm = gm[:src_len]
-    if backend == "pallas":
+    if backend in ("pallas", "pallas_fused"):
         return pallas_acc(
             state.pos,
             state.radius,
             src_pos,
             src_gm,
-            tile_targets=config.tile_targets,
+            tile_targets=config.kernel_tile_targets,
             tile_sources=config.tile_sources,
             precise=config.precise,
             interpret=interpret,
@@ -158,9 +181,10 @@ def _force(
 
 
 def effective_src_len(backend: Backend, src_len: int, mass_len: int) -> int:
-    """The jnp backend has no tile-alignment requirement on the source row,
-    so it skips the zero-mass alignment padding entirely (~6% less compute
-    at N=65k); the Pallas kernels need the padded length."""
+    """Source rows actually fed to the backend: the jnp backend slices
+    exactly ``mass_len`` (no alignment requirement); the round-2 Pallas
+    kernel needs only the 128-lane alignment (``src_len`` already satisfies
+    the streaming-block rule when sources exceed the residency budget)."""
     if backend == "jnp":
         return max(mass_len, 1)
     return src_len
@@ -216,11 +240,14 @@ class World:
         mass = host.mass[order]
         radius = host.radius[order]
 
-        # Source row length: massive particles rounded up to the source-tile
-        # lane alignment; zero-gm padding makes the extra rows inert.
-        src_len = pad_to_tiles(mass_len, SOURCE_ALIGN, config.tile_sources)
+        # Source row length: massive particles rounded up to the 128-lane
+        # alignment (exact-source kernel semantics; streaming-block multiple
+        # above the VMEM residency budget); zero-gm padding keeps any extra
+        # rows inert.
+        src_len = source_pad_len(mass_len, config.tile_sources)
         # Padded total: >= src_len (sources are a prefix slice) and divisible
-        # by the effective target tile (min(tile_targets, n_pad)).
+        # by the effective target tile (min(tile_targets, n_pad)); the fused
+        # kernel halves its tile until it divides n_pad.
         n_pad = pad_to_tiles(max(n, src_len), 8, config.tile_targets)
 
         def pad(a, fill):

@@ -83,10 +83,25 @@ def test_sharded_leapfrog_matches_single_device():
     )
 
 
-def test_fused_backends_reject_leapfrog():
-    w = create_world(make_galaxies(200, 1, seed=1), config=LEAP)
-    with pytest.raises(ValueError, match="Euler only"):
-        w.update(0.01, 1, backend="pallas_fused")
+def test_fused_kernel_leapfrog_matches_jnp():
+    # the fused kernel integrates leapfrog in-kernel (kick + half-drift with
+    # the caller pre-drifting); must match the jnp DKD trajectory
+    scene = make_galaxies(200, 1, seed=1)
+    wp = create_world(scene, config=LEAP, default_backend="pallas")
+    wj = create_world(scene, config=LEAP, default_backend="jnp")
+    wp.update(0.01, 20)
+    wj.update(0.01, 20)
+    np.testing.assert_allclose(
+        np.asarray(wp.particles.pos), np.asarray(wj.particles.pos),
+        rtol=3e-4, atol=3e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(wp.particles.vel), np.asarray(wj.particles.vel),
+        rtol=3e-4, atol=3e-3,
+    )
+
+
+def test_ring_backend_rejects_leapfrog():
     with pytest.raises(ValueError, match="Euler only"):
         ShardedWorld(make_galaxies(200, 1, seed=1), make_mesh(2),
                      config=LEAP, force_backend="pallas_ring")

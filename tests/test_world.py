@@ -137,7 +137,9 @@ def test_get_particles_fresh_after_each_update():
 
 
 def test_default_backend_heuristic():
-    # measured: jnp leads at every ladder size (docs/BENCHMARKS.md)
+    # measured (round 2): the fused Pallas kernel runs within ~1-5% of the
+    # XLA-fused jnp path but never ahead in same-run comparisons
+    # (docs/BENCHMARKS.md), so jnp stays the default at every size
     from nbody_tpu.world import default_backend_for
 
     assert default_backend_for(600) == "jnp"
