@@ -32,7 +32,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .. import forces
 from ..ops.pallas_forces import SOURCE_ALIGN, pallas_acc
 from ..types import Particles, SimConfig, DEFAULT_SIM_CONFIG, round_up
-from ..world import partition_massive_first
 
 AXIS = "shard"
 
@@ -176,9 +175,17 @@ class ShardedWorld:
             )
         self.force_backend = force_backend
 
-        host = jax.tree.map(np.asarray, particles)
-        n = host.pos.shape[0]
-        order, mass_len = partition_massive_first(host.mass)
+        from ..types import DTYPE
+        from ..world import _create_padded_state
+
+        pos0 = jnp.asarray(particles.pos, DTYPE)
+        vel0 = jnp.asarray(particles.vel, DTYPE)
+        acc0 = jnp.asarray(particles.acc, DTYPE)
+        mass0 = jnp.asarray(particles.mass, DTYPE)
+        radius0 = jnp.asarray(particles.radius, DTYPE)
+        n = pos0.shape[0]
+        # the only device->host transfer at creation: one scalar
+        mass_len = int(jax.device_get(jnp.count_nonzero(mass0 > 0.0)))
 
         # per-device source shard length
         s_loc = round_up(max(mass_len, 1), SOURCE_ALIGN * d) // d
@@ -198,22 +205,19 @@ class ShardedWorld:
         self.t_loc = t_loc
         self.s_loc = s_loc
 
-        def pad(a, fill):
-            out = np.full((n_pad,) + a.shape[1:], fill, dtype=np.float32)
-            out[:n] = a[order]
-            return out
-
-        idx = np.arange(n_pad)
-        gm_full = np.where(idx < mass_len, config.g * pad(host.mass, 0.0), 0.0).astype(np.float32)
-        valid = (idx < n).astype(np.float32)[:, None]
-
+        # device-side partition/pad (no host round trip), then scatter the
+        # padded arrays across the mesh (device->device)
+        state, gm_full, valid = _create_padded_state(
+            pos0, vel0, acc0, mass0, radius0, jnp.int32(mass_len),
+            n_pad=n_pad, g=config.g,
+        )
         sh = NamedSharding(self.mesh, P(AXIS))
         sh2 = NamedSharding(self.mesh, P(AXIS, None))
-        self.pos = jax.device_put(pad(host.pos, 0.0), sh2)
-        self.vel = jax.device_put(pad(host.vel, 0.0), sh2)
-        self.acc = jax.device_put(pad(host.acc, 0.0), sh2)
-        self.mass = jax.device_put(pad(host.mass, 0.0), sh)
-        self.radius = jax.device_put(pad(host.radius, 1.0), sh)
+        self.pos = jax.device_put(state.pos, sh2)
+        self.vel = jax.device_put(state.vel, sh2)
+        self.acc = jax.device_put(state.acc, sh2)
+        self.mass = jax.device_put(state.mass, sh)
+        self.radius = jax.device_put(state.radius, sh)
         # gm for the source prefix, resharded so each device owns s_loc of it
         self.gm_src = jax.device_put(gm_full[:src_len], sh)
         self.valid = jax.device_put(valid, sh2)

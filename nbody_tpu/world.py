@@ -87,6 +87,35 @@ def partition_massive_first(mass: np.ndarray) -> tuple[np.ndarray, int]:
     return order, mass_len
 
 
+@functools.partial(jax.jit, static_argnames=("n_pad", "g"))
+def _create_padded_state(
+    pos, vel, acc, mass, radius, mass_len, *, n_pad: int, g: float
+):
+    """Device-side world creation: stable massive-first partition
+    (world.c:33-46 as a jitted argsort on ``mass <= 0``), padding to kernel
+    shapes, and gm/valid row synthesis — no host round trip. ``mass_len`` is
+    traced, so one compilation serves every scene of a given size."""
+    n = pos.shape[0]
+    order = jnp.argsort(mass <= 0, stable=True)
+
+    def pad(a, fill):
+        out = jnp.full((n_pad,) + a.shape[1:], jnp.float32(fill))
+        return jax.lax.dynamic_update_slice(
+            out, a[order].astype(jnp.float32), (0,) * out.ndim)
+
+    state = Particles(
+        pos=pad(pos, 0.0),
+        vel=pad(vel, 0.0),
+        acc=pad(acc, 0.0),
+        mass=pad(mass, 0.0),
+        radius=pad(radius, 1.0),
+    )
+    idx = jnp.arange(n_pad)
+    gm = jnp.where(idx < mass_len, g * state.mass, 0.0).astype(jnp.float32)
+    valid = (idx < n).astype(jnp.float32)[:, None]
+    return state, gm, valid
+
+
 def _step(
     state: Particles,
     gm: jax.Array,
@@ -231,14 +260,20 @@ class World:
         config: SimConfig = DEFAULT_SIM_CONFIG,
         default_backend: Backend | None = None,
     ):
-        host = jax.tree.map(np.asarray, particles)
-        n = host.pos.shape[0]
-        order, mass_len = partition_massive_first(host.mass)
-        pos = host.pos[order]
-        vel = host.vel[order]
-        acc = host.acc[order]
-        mass = host.mass[order]
-        radius = host.radius[order]
+        # Device arrays stay on device (no np.asarray round trip — a real
+        # creation-time cost at N=1M for device-generated scenes); host
+        # arrays upload once here.
+        from .types import DTYPE
+
+        pos = jnp.asarray(particles.pos, DTYPE)
+        vel = jnp.asarray(particles.vel, DTYPE)
+        acc = jnp.asarray(particles.acc, DTYPE)
+        mass = jnp.asarray(particles.mass, DTYPE)
+        radius = jnp.asarray(particles.radius, DTYPE)
+        n = pos.shape[0]
+        # The ONLY device->host transfer at creation: one scalar (the count
+        # of force-exerting particles, needed for static kernel shapes).
+        mass_len = int(jax.device_get(jnp.count_nonzero(mass > 0.0)))
 
         # Source row length: massive particles rounded up to the 128-lane
         # alignment (exact-source kernel semantics; streaming-block multiple
@@ -250,30 +285,16 @@ class World:
         # kernel halves its tile until it divides n_pad.
         n_pad = pad_to_tiles(max(n, src_len), 8, config.tile_targets)
 
-        def pad(a, fill):
-            out = np.full((n_pad,) + a.shape[1:], fill, dtype=np.float32)
-            out[:n] = a
-            return out
-
         self.total_len = n
         self.mass_len = mass_len
         self.src_len = src_len
         self.n_pad = n_pad
         self.config = config
-        self._order = order
 
-        self.state = Particles(
-            pos=jnp.asarray(pad(pos, 0.0)),
-            vel=jnp.asarray(pad(vel, 0.0)),
-            acc=jnp.asarray(pad(acc, 0.0)),
-            mass=jnp.asarray(pad(mass, 0.0)),
-            radius=jnp.asarray(pad(radius, 1.0)),
+        self.state, self.gm, self.valid = _create_padded_state(
+            pos, vel, acc, mass, radius, jnp.int32(mass_len),
+            n_pad=n_pad, g=config.g,
         )
-        idx = np.arange(n_pad)
-        self.gm = jnp.asarray(
-            np.where(idx < mass_len, config.g * pad(mass, 0.0), 0.0).astype(np.float32)
-        )
-        self.valid = jnp.asarray((idx < n).astype(np.float32)[:, None])
 
         if default_backend is None:
             default_backend = default_backend_for(n)

@@ -1,6 +1,7 @@
 """World API tests: partition, padding, backend parity & switching, substep
 batching semantics (reference world.c / nbody.h behaviors)."""
 
+import jax
 import numpy as np
 from helpers import TINY, random_particles
 import pytest
@@ -176,3 +177,36 @@ def test_pallas_fused_backend_parity():
         np.asarray(w1.particles.acc), np.asarray(w2.particles.acc),
         rtol=2e-4, atol=2e-3,
     )
+
+
+def test_device_world_creation_no_host_roundtrip():
+    """Creating a world from a device-generated scene must not bounce the
+    arrays through the host (world.c:33-46 is creation-time there too; here
+    the partition/pad runs jitted on device). Only the O(1) mass_len scalar
+    may cross to the host — fetched explicitly via device_get."""
+    from nbody_tpu.models import make_galaxies_device
+
+    scene = make_galaxies_device(jax.random.PRNGKey(7), 1024, 2)
+    jax.block_until_ready(scene)
+    # guard device->host only: constant uploads (h2d) are fine, the
+    # creation path must not fetch arrays back; the one O(1) scalar
+    # fetch uses explicit device_get, which "disallow" permits
+    with jax.transfer_guard_device_to_host("disallow"):
+        w = create_world(scene)
+        w.update(0.01, 2)
+        jax.block_until_ready(w.state)
+    assert w.mass_len > 0
+    p = w.particles  # explicit host export stays allowed outside the guard
+    assert np.all(np.isfinite(p.pos))
+
+
+def test_device_creation_matches_host_creation():
+    # same scene via numpy vs device arrays -> identical world state
+    scene = make_galaxies(600, 2, seed=5)
+    host_scene = jax.tree.map(np.asarray, scene)
+    w_dev = create_world(scene)
+    w_host = create_world(host_scene)
+    assert w_dev.mass_len == w_host.mass_len
+    np.testing.assert_array_equal(np.asarray(w_dev.state.pos),
+                                  np.asarray(w_host.state.pos))
+    np.testing.assert_array_equal(np.asarray(w_dev.gm), np.asarray(w_host.gm))
