@@ -29,11 +29,18 @@ sources from the rotating snapshot taken at substep start) — the TPU
 analogue of the reference's old/new double buffering (sim_gpu.c:19,
 particle_cs.glsl:14-20).
 
-Correctness is CI-tested in interpreter mode on the virtual CPU mesh; on
-real hardware the RDMA rides ICI (single-chip environment here, so
-multi-chip perf is unmeasured). Single-device instantiation (n_devices=1,
-axis=None) doubles as a fused single-launch substep for the World backend
-"pallas_fused".
+Correctness is CI-tested three ways (tests/test_ring_kernel.py,
+tests/test_ring_barrier.py): (1) generic interpret mode on the virtual CPU
+mesh (barrier compiled out); (2) Pallas TPU interpret mode
+(``interpret="tpu_sim"``), which SIMULATES the remote DMAs, semaphores and
+barrier across shard_map'd CPU devices with race detection on — the
+barrier/backpressure handshake executes for real there; and (3) a chipless
+libtpu AOT compile of the n_devices=8 barrier kernel against a v5e:2x4
+topology, so Mosaic's codegen of the handshake is exercised in CI. On real
+hardware the RDMA rides ICI (single-chip environment here, so multi-chip
+perf is unmeasured). Single-device instantiation (n_devices=1, axis=None)
+remains available; since round 2 the single-chip World backends use the
+dedicated fused kernel in ``pallas_forces`` instead.
 """
 
 from __future__ import annotations
@@ -299,7 +306,21 @@ def ring_substep(
         )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    use_barrier = n_devices > 1 and not interpret
+    # interpret modes: False = compile via Mosaic; True = generic Pallas
+    # interpreter (no cross-device semaphore semantics, so the barrier is
+    # compiled out); "tpu_sim" = the TPU interpret mode
+    # (pltpu.InterpretParams), which SIMULATES remote DMAs, semaphores and
+    # barriers across shard_map'd CPU devices with race detection — the
+    # barrier/backpressure handshake executes for real there (CI-tested in
+    # tests/test_ring_barrier.py; the reference's analogous tooling is the
+    # Vulkan validation layer, vulkan_ctx.c:322-334).
+    tpu_sim = interpret == "tpu_sim"
+    if tpu_sim:
+        interpret_param = pltpu.InterpretParams(
+            detect_races=True, dma_execution_mode="on_wait")
+    else:
+        interpret_param = bool(interpret)
+    use_barrier = n_devices > 1 and (tpu_sim or not interpret)
 
     n_i = t // tile_t
     n_j = s // tile_s
@@ -348,7 +369,7 @@ def ring_substep(
             # rejects it for barrier-less (single-device) instantiations
             collective_id=0 if use_barrier else None,
         ),
-        interpret=interpret,
+        interpret=interpret_param,
     )(
         jnp.asarray(dt, DTYPE).reshape(1, 1),
         row(pos[:, 0]), row(pos[:, 1]), row(radius),

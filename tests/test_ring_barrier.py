@@ -1,0 +1,152 @@
+"""Execute the ring kernel's barrier + backpressure handshake for real.
+
+Round-1 gap (VERDICT): ``use_barrier = n_devices > 1 and not interpret``
+meant the cross-device barrier (ring_forces.py ``get_barrier_semaphore``),
+the "slot freed" ``ready_sem`` backpressure handshake, and the
+``collective_id`` pairing had never run OR compiled anywhere — validated by
+inspection only.
+
+These tests run the FULL handshake under Pallas TPU interpret mode
+(``pltpu.InterpretParams``), which simulates remote DMAs, semaphores and
+barriers across the shard_map'd CPU devices **with race detection enabled**
+(``detect_races=True``) — a deadlock hangs the test, a mid-transfer clobber
+trips the race detector, and a reordering shows up as wrong physics vs the
+single-chip oracle. This is the TPU analogue of running the reference under
+the Vulkan validation layer (vulkan_ctx.c:322-334).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import nbody_tpu as nb
+from nbody_tpu import forces
+from nbody_tpu.ops.ring_forces import ring_substep
+from nbody_tpu.parallel.sharding import AXIS, make_mesh
+from nbody_tpu.types import SimConfig
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+def _sharded_substep(scene, n_dev, *, stream_sources=None, n_steps=2,
+                     tile_t=64, tile_s=128):
+    """Run n_steps fused ring substeps with the barrier path ON under the
+    TPU interpret simulator; returns final positions (real rows)."""
+    cfg = SimConfig(tile_targets=tile_t, tile_sources=tile_s)
+    from nbody_tpu.parallel.sharding import ShardedWorld
+
+    sw = ShardedWorld(scene, make_mesh(n_dev), config=cfg, force_backend="jnp")
+    mesh = sw.mesh
+    dt = jnp.float32(0.01)
+
+    def shard_body(pos, vel, radius, gm_src, src_pos0, valid):
+        src = jnp.stack([src_pos0[:, 0], src_pos0[:, 1], gm_src], axis=0)
+        return ring_substep(
+            dt, pos, vel, radius, valid, src,
+            axis=AXIS, n_devices=n_dev, tile_t=tile_t, tile_s=tile_s,
+            precise=False, interpret="tpu_sim", stream_sources=stream_sources,
+        )
+
+    smapped = jax.shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS), P(AXIS),
+                  P(AXIS, None), P(AXIS, None)),
+        out_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None)),
+        check_vma=False,
+    )
+
+    pos, vel = sw.pos, sw.vel
+    src_len = sw.src_len
+    sh2 = NamedSharding(mesh, P(AXIS, None))
+    for _ in range(n_steps):
+        src_pos = jax.device_put(pos[:src_len], sh2)
+        pos, vel, acc = smapped(pos, vel, sw.radius, sw.gm_src, src_pos,
+                                sw.valid)
+    return np.asarray(pos)[: sw.total_len], sw
+
+
+def _single_chip_reference(scene, n_steps=2):
+    w = nb.create_world(scene, config=SimConfig(tile_targets=64),
+                        default_backend="jnp")
+    w.update(0.01, n_steps)
+    return np.asarray(w.particles.pos)
+
+
+@pytest.mark.parametrize("n_dev", [3, 8])
+def test_barrier_backpressure_handshake_parity(n_dev):
+    # n_dev=3 is the smallest ring where the backpressure wait/signal pair
+    # is live (n_devices > 2); n_dev=8 exercises multi-hop slot reuse.
+    scene = nb.make_galaxies(240, 2, seed=11037)
+    got, sw = _sharded_substep(scene, n_dev)
+    assert sw.mass_len > 0
+    ref = _single_chip_reference(scene)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got / scale, ref / scale, atol=2e-6)
+
+
+def test_barrier_handshake_streaming_sources():
+    # HBM-space comm buffers + double-buffered VMEM prefetch, with the ring
+    # RDMA landing in HBM — the hardest configuration of the kernel.
+    scene = nb.make_galaxies(240, 2, seed=7)
+    got, sw = _sharded_substep(scene, 4, stream_sources=True, n_steps=1)
+    ref = _single_chip_reference(scene, n_steps=1)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got / scale, ref / scale, atol=2e-6)
+
+
+def test_two_device_slot_pingpong():
+    # n_devices=2: distinct slots ping-pong, no backpressure semaphores;
+    # barrier still on. Guards the hop<n-1 send/wait pairing.
+    scene = nb.make_galaxies(240, 2, seed=3)
+    got, sw = _sharded_substep(scene, 2)
+    ref = _single_chip_reference(scene)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got / scale, ref / scale, atol=2e-6)
+
+
+def test_mosaic_aot_compiles_barrier_for_v5e8():
+    """AOT-lower and Mosaic-compile the n_devices=8 barrier kernel against a
+    real v5e:2x4 TPU topology (chipless libtpu AOT) — fails if the semaphore
+    handshake (barrier signal/wait, ready_sem backpressure, collective_id
+    pairing) stops compiling. Complements the interpret-mode execution tests
+    above, which exercise semantics but not Mosaic codegen."""
+    from jax.experimental import topologies
+    from jax.sharding import Mesh
+
+    try:
+        topo = topologies.get_topology_desc("v5e:2x4", "tpu")
+    except Exception as e:  # no libtpu in this environment
+        pytest.skip(f"chipless TPU AOT unavailable: {e}")
+
+    mesh = Mesh(np.array(topo.devices).reshape(8), (AXIS,))
+    t_loc, s_loc = 512, 256
+    dt = jnp.float32(0.01)
+
+    def shard_body(pos, vel, radius, valid, src):
+        return ring_substep(
+            dt, pos, vel, radius, valid, src,
+            axis=AXIS, n_devices=8, tile_t=128, tile_s=128,
+            precise=False, interpret=False)  # real Mosaic path, barrier ON
+
+    smapped = jax.shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS), P(AXIS, None),
+                  P(AXIS, None)),
+        out_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None)),
+        check_vma=False)
+
+    sh2 = NamedSharding(mesh, P(AXIS, None))
+    sh1 = NamedSharding(mesh, P(AXIS))
+    args = [
+        jax.ShapeDtypeStruct((8 * t_loc, 2), jnp.float32, sharding=sh2),
+        jax.ShapeDtypeStruct((8 * t_loc, 2), jnp.float32, sharding=sh2),
+        jax.ShapeDtypeStruct((8 * t_loc,), jnp.float32, sharding=sh1),
+        jax.ShapeDtypeStruct((8 * t_loc, 1), jnp.float32, sharding=sh2),
+        jax.ShapeDtypeStruct((8 * 3, s_loc), jnp.float32, sharding=sh2),
+    ]
+    lowered = jax.jit(smapped).lower(*args)
+    assert "tpu_custom_call" in lowered.as_text()
+    compiled = lowered.compile()  # Mosaic compiles the handshake here
+    assert compiled is not None
