@@ -57,7 +57,7 @@ from ..types import DTYPE
 
 def _make_kernel(axis: str | None, n_devices: int, n_i: int, n_j: int,
                  tile_t: int, tile_s: int, precise: bool, use_barrier: bool,
-                 stream_sources: bool):
+                 stream_sources: bool, pos_dt: float):
     def kernel(
         dt_ref,                                              # (1,1) SMEM
         px_ref, py_ref, rr_ref, vx_ref, vy_ref, valid_ref,   # (1,T) ANY
@@ -215,7 +215,10 @@ def _make_kernel(axis: str | None, n_devices: int, n_i: int, n_j: int,
 
         jax.lax.fori_loop(0, n_devices, hop_body, 0)
 
-        # --- integration pass (v += a*dt; x += v*dt), padding rows masked ---
+        # --- integration pass, padding rows masked: v += a*dt, then
+        # x += pos_dt*dt*v (pos_dt=1 -> semi-implicit Euler,
+        # particle_cs.glsl:51-52; pos_dt=0.5 -> kick + half-drift, the
+        # second half of position-Verlet with the caller pre-drifting) ---
         dt = dt_ref[0, 0]
 
         def int_body(i, _):
@@ -229,8 +232,8 @@ def _make_kernel(axis: str | None, n_devices: int, n_i: int, n_j: int,
             say[:] = ay
             svx[:] = nvx
             svy[:] = nvy
-            sox[:] = tbx[:] + dt * nvx
-            soy[:] = tby[:] + dt * nvy
+            sox[:] = tbx[:] + (pos_dt * dt) * nvx
+            soy[:] = tby[:] + (pos_dt * dt) * nvy
             outs = [
                 pltpu.make_async_copy(
                     buf, ref.at[:, pl.ds(i * tile_t, tile_t)], copy_sem.at[k]
@@ -254,7 +257,7 @@ def _make_kernel(axis: str | None, n_devices: int, n_i: int, n_j: int,
 @functools.partial(
     jax.jit,
     static_argnames=("axis", "n_devices", "tile_t", "tile_s", "precise",
-                     "interpret", "stream_sources"),
+                     "interpret", "stream_sources", "pos_dt"),
 )
 def ring_substep(
     dt,          # scalar f32
@@ -271,6 +274,7 @@ def ring_substep(
     precise: bool = False,
     interpret: bool | None = None,
     stream_sources: bool | None = None,
+    pos_dt: float = 1.0,
 ):
     """One fused substep for this device (call inside shard_map; or with
     n_devices=1 / axis=None as a single-chip fused step). Returns
@@ -325,7 +329,7 @@ def ring_substep(
     n_i = t // tile_t
     n_j = s // tile_s
     kernel = _make_kernel(axis, n_devices, n_i, n_j, tile_t, tile_s, precise,
-                          use_barrier, stream_sources)
+                          use_barrier, stream_sources, pos_dt)
 
     row = lambda a: a.reshape(1, t)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)

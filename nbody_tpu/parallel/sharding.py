@@ -36,6 +36,21 @@ from ..types import Particles, SimConfig, DEFAULT_SIM_CONFIG, round_up
 AXIS = "shard"
 
 
+def shard_layout(n: int, mass_len: int, config: SimConfig, d: int):
+    """Padded layout for a D-way sharded world: returns
+    (s_loc, t_loc, src_len, n_pad). Deterministic in (n, mass_len, config,
+    d), which is what lets a checkpoint restore rebuild the exact sharded
+    shapes without touching the arrays."""
+    s_loc = round_up(max(mass_len, 1), SOURCE_ALIGN * d) // d
+    if s_loc > config.tile_sources:
+        s_loc = round_up(s_loc, config.tile_sources)
+    src_len = s_loc * d
+    t_loc = round_up(max(n, src_len), 8 * d) // d
+    if t_loc > config.tile_targets:
+        t_loc = round_up(t_loc, config.tile_targets)
+    return s_loc, t_loc, src_len, t_loc * d
+
+
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     """1-D device mesh over the particle axis."""
     if devices is None:
@@ -64,11 +79,13 @@ def _local_acc(
 
 def _fused_ring_step_shard(
     pos, vel, radius, gm_src, src_pos0, valid, dt,
-    *, n_devices: int, config: SimConfig,
+    *, n_devices: int, config: SimConfig, pos_dt: float = 1.0,
 ):
     """Fully fused substep: force + ring RDMA + integration in ONE Pallas
     kernel per device (nbody_tpu.ops.ring_forces). The comm/compute overlap
-    is inside the kernel rather than left to XLA."""
+    is inside the kernel rather than left to XLA. ``pos_dt=0.5`` turns the
+    in-kernel integration into the kick + half-drift second half of
+    position-Verlet (the caller pre-drifts positions by dt/2)."""
     from ..ops.ring_forces import ring_substep
 
     src = jnp.stack([src_pos0[:, 0], src_pos0[:, 1], gm_src], axis=0)
@@ -76,7 +93,7 @@ def _fused_ring_step_shard(
         dt, pos, vel, radius, valid, src,
         axis=AXIS, n_devices=n_devices,
         tile_t=config.tile_targets, tile_s=config.tile_sources,
-        precise=config.precise,
+        precise=config.precise, pos_dt=pos_dt,
     )
 
 
@@ -168,11 +185,6 @@ class ShardedWorld:
         self.config = config
         if force_backend is None:
             force_backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
-        if force_backend == "pallas_ring" and config.integrator != "euler":
-            raise ValueError(
-                "pallas_ring integrates in-kernel (Euler only); use the "
-                "'jnp' or 'pallas' force backend with integrator='leapfrog'"
-            )
         self.force_backend = force_backend
 
         from ..types import DTYPE
@@ -187,16 +199,7 @@ class ShardedWorld:
         # the only device->host transfer at creation: one scalar
         mass_len = int(jax.device_get(jnp.count_nonzero(mass0 > 0.0)))
 
-        # per-device source shard length
-        s_loc = round_up(max(mass_len, 1), SOURCE_ALIGN * d) // d
-        if s_loc > config.tile_sources:
-            s_loc = round_up(s_loc, config.tile_sources)
-        src_len = s_loc * d
-        # per-device target shard length
-        t_loc = round_up(max(n, src_len), 8 * d) // d
-        if t_loc > config.tile_targets:
-            t_loc = round_up(t_loc, config.tile_targets)
-        n_pad = t_loc * d
+        s_loc, t_loc, src_len, n_pad = shard_layout(n, mass_len, config, d)
 
         self.total_len = n
         self.mass_len = mass_len
@@ -224,6 +227,63 @@ class ShardedWorld:
         self._update_fn = self._build_update()
         self._host_cache: Particles | None = None
 
+    @classmethod
+    def from_arrays(
+        cls,
+        pos, vel, acc, mass, radius,
+        *,
+        total_len: int,
+        mass_len: int,
+        mesh: Mesh,
+        config: SimConfig = DEFAULT_SIM_CONFIG,
+        force_backend=None,
+    ) -> "ShardedWorld":
+        """Rebuild a ShardedWorld around already-sharded PADDED arrays (e.g.
+        restored in place by Orbax) without re-running creation. The arrays
+        must match :func:`shard_layout` for (total_len, mass_len, config,
+        mesh size); gm/valid rows are re-synthesized on device."""
+        self = cls.__new__(cls)
+        self.mesh = mesh
+        d = mesh.devices.size
+        self.n_devices = d
+        self.config = config
+        if force_backend is None:
+            force_backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+        self.force_backend = force_backend
+
+        s_loc, t_loc, src_len, n_pad = shard_layout(total_len, mass_len, config, d)
+        if pos.shape != (n_pad, 2):
+            raise ValueError(
+                f"restored pos shape {pos.shape} does not match the layout "
+                f"for n={total_len}, mass_len={mass_len}, D={d}: ({n_pad}, 2) "
+                "— restore with the same config and mesh size as the save")
+        self.total_len = total_len
+        self.mass_len = mass_len
+        self.src_len = src_len
+        self.n_pad = n_pad
+        self.t_loc = t_loc
+        self.s_loc = s_loc
+
+        sh = NamedSharding(mesh, P(AXIS))
+        sh2 = NamedSharding(mesh, P(AXIS, None))
+        self.pos = jax.device_put(pos, sh2)
+        self.vel = jax.device_put(vel, sh2)
+        self.acc = jax.device_put(acc, sh2)
+        self.mass = jax.device_put(mass, sh)
+        self.radius = jax.device_put(radius, sh)
+
+        @functools.partial(jax.jit, out_shardings=(sh, sh2))
+        def synth(mass):
+            idx = jnp.arange(n_pad)
+            gm = jnp.where(idx < mass_len, config.g * mass, 0.0).astype(mass.dtype)
+            valid = (idx < total_len).astype(mass.dtype)[:, None]
+            return gm[:src_len], valid
+
+        self.gm_src, self.valid = synth(self.mass)
+        self._update_fn = self._build_update()
+        self._host_cache = None
+        return self
+
     def _build_update(self):
         mesh = self.mesh
         d = self.n_devices
@@ -231,75 +291,111 @@ class ShardedWorld:
         force_backend = self.force_backend
         src_len = self.src_len
 
+        if force_backend == "pallas_ring":
+            step = functools.partial(
+                _fused_ring_step_shard, n_devices=d, config=config,
+                pos_dt=0.5 if config.integrator == "leapfrog" else 1.0,
+            )
+        else:
+            step = functools.partial(
+                _ring_step_shard,
+                n_devices=d, config=config, force_backend=force_backend,
+            )
+
+        smapped = jax.shard_map(
+            lambda pos, vel, radius, gm_src, src_pos0, valid, dt: step(
+                pos, vel, radius, gm_src, src_pos0, valid, dt),
+            mesh=mesh,
+            in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS), P(AXIS),
+                      P(AXIS, None), P(AXIS, None), P()),
+            out_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None)),
+            # pallas_call outputs don't carry varying-mesh-axis metadata
+            check_vma=False,
+        )
+
+        force = functools.partial(
+            _ring_force_shard,
+            n_devices=d, config=config, force_backend=force_backend,
+        )
+        smapped_force = jax.shard_map(
+            lambda pos, radius, gm_src, src_pos0, valid: force(
+                pos, radius, gm_src, src_pos0, valid
+            ),
+            mesh=mesh,
+            in_specs=(P(AXIS, None), P(AXIS), P(AXIS),
+                      P(AXIS, None), P(AXIS, None)),
+            out_specs=P(AXIS, None),
+            check_vma=False,
+        )
+
+        def gather_src(p):
+            # source shard = slice of the global massive prefix, gathered
+            # from the (possibly cross-shard) first src_len rows.
+            return jax.lax.with_sharding_constraint(
+                p[:src_len], NamedSharding(mesh, P(AXIS, None))
+            )
+
+        def substep(pos, vel, acc, radius, gm_src, valid, dt):
+            if config.integrator == "leapfrog":
+                # position-Verlet (DKD): force at the global midpoint
+                pos_h = pos + (0.5 * dt) * vel
+                if force_backend == "pallas_ring":
+                    # kick + half-drift fused in-kernel (pos_dt=0.5)
+                    return smapped(pos_h, vel, radius, gm_src,
+                                   gather_src(pos_h), valid, dt)
+                acc = smapped_force(pos_h, radius, gm_src,
+                                    gather_src(pos_h), valid)
+                vel = vel + dt * acc
+                pos = pos_h + (0.5 * dt) * vel
+                return pos, vel, acc
+            return smapped(pos, vel, radius, gm_src, gather_src(pos),
+                           valid, dt)
+
+        self._substep = substep
+
         @functools.partial(
             jax.jit, donate_argnums=(0, 1, 2),
         )
         def update(pos, vel, acc, radius, gm_src, valid, dt, n):
-            in_specs = (
-                P(AXIS, None), P(AXIS, None), P(AXIS),
-                P(AXIS), P(AXIS, None), P(AXIS, None),
-            )
-            if force_backend == "pallas_ring":
-                step = functools.partial(
-                    _fused_ring_step_shard, n_devices=d, config=config,
-                )
-            else:
-                step = functools.partial(
-                    _ring_step_shard,
-                    n_devices=d, config=config, force_backend=force_backend,
-                )
-
-            def shard_body(pos, vel, radius, gm_src, src_pos0, valid, dt):
-                return step(pos, vel, radius, gm_src, src_pos0, valid, dt)
-
-            smapped = jax.shard_map(
-                shard_body,
-                mesh=mesh,
-                in_specs=in_specs + (P(),),
-                out_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None)),
-                # pallas_call outputs don't carry varying-mesh-axis metadata
-                check_vma=False,
-            )
-
-            force = functools.partial(
-                _ring_force_shard,
-                n_devices=d, config=config, force_backend=force_backend,
-            )
-            smapped_force = jax.shard_map(
-                lambda pos, radius, gm_src, src_pos0, valid: force(
-                    pos, radius, gm_src, src_pos0, valid
-                ),
-                mesh=mesh,
-                in_specs=(P(AXIS, None), P(AXIS), P(AXIS),
-                          P(AXIS, None), P(AXIS, None)),
-                out_specs=P(AXIS, None),
-                check_vma=False,
-            )
-
-            def gather_src(p):
-                # source shard = slice of the global massive prefix, gathered
-                # from the (possibly cross-shard) first src_len rows.
-                return jax.lax.with_sharding_constraint(
-                    p[:src_len], NamedSharding(mesh, P(AXIS, None))
-                )
-
             def body(_, carry):
-                pos, vel, acc = carry
-                if config.integrator == "leapfrog":
-                    # position-Verlet (DKD): force at the global midpoint
-                    pos_h = pos + (0.5 * dt) * vel
-                    acc = smapped_force(pos_h, radius, gm_src,
-                                        gather_src(pos_h), valid)
-                    vel = vel + dt * acc
-                    pos = pos_h + (0.5 * dt) * vel
-                else:
-                    pos, vel, acc = smapped(pos, vel, radius, gm_src,
-                                            gather_src(pos), valid, dt)
-                return pos, vel, acc
+                return substep(*carry, radius, gm_src, valid, dt)
 
             return jax.lax.fori_loop(0, n, body, (pos, vel, acc))
 
         return update
+
+    def record(self, dt: float, frames: int, steps_per_frame: int = 1):
+        """On-device sharded trajectory capture: frames*steps_per_frame
+        substeps run in ONE jitted scan, positions stacked on device (the
+        frame axis is unsharded; the particle axis keeps its mesh sharding),
+        with a single device->host gather at the end — the sharded analogue
+        of :func:`nbody_tpu.trajectory.record_states` (replaces the round-1
+        per-frame host readback, the exact pattern the single-chip path was
+        built to kill — ref TODO README.md:97).
+
+        Advances the world's state. Returns host (frames, total_len, 2)."""
+        substep = self._substep
+
+        @functools.partial(jax.jit, static_argnames=("frames", "steps"),
+                           donate_argnums=(0, 1, 2))
+        def run(pos, vel, acc, radius, gm_src, valid, dt, *, frames, steps):
+            def frame_body(carry, _):
+                pos, vel, acc = carry
+                pos, vel, acc = jax.lax.fori_loop(
+                    0, steps,
+                    lambda _, c: substep(*c, radius, gm_src, valid, dt),
+                    (pos, vel, acc))
+                return (pos, vel, acc), pos
+
+            return jax.lax.scan(frame_body, (pos, vel, acc), None,
+                                length=frames)
+
+        (self.pos, self.vel, self.acc), traj = run(
+            self.pos, self.vel, self.acc, self.radius, self.gm_src,
+            self.valid, jnp.float32(dt), frames=frames,
+            steps=steps_per_frame)
+        self._host_cache = None
+        return np.asarray(traj[:, : self.total_len, :])
 
     def update(self, dt: float, n: int = 1) -> "ShardedWorld":
         if n <= 0:

@@ -78,14 +78,11 @@ def record_trajectory(
 def record_trajectory_sharded(
     world, dt: float, frames: int, steps_per_frame: int = 1
 ) -> np.ndarray:
-    """Trajectory capture for a ShardedWorld: frames gathered per capture
-    (the sharded update itself stays fused on device; the per-frame gather is
-    the explicit output, as with any trajectory export)."""
-    out = np.empty((frames, world.total_len, 2), np.float32)
-    for k in range(frames):
-        world.update(dt, steps_per_frame)
-        out[k] = np.asarray(world.particles.pos)
-    return out
+    """Trajectory capture for a ShardedWorld: all frames are captured inside
+    ONE jitted scan on device (stacked sharded along the particle axis) and
+    gathered to the host once at the end — same contract as the single-chip
+    :func:`record_trajectory`. Delegates to :meth:`ShardedWorld.record`."""
+    return world.record(dt, frames, steps_per_frame)
 
 
 def save_trajectory(path: str, traj: np.ndarray, **extra) -> None:

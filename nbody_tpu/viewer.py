@@ -8,12 +8,19 @@ same control semantics where they make sense off-hardware:
   LEFT/RIGHT  sim speed /2, x2          (SPEEDS, main.c:25)
   UP/DOWN     step multiplier           (STEPS, main.c:26)
   Q      quit                           (main.c:64)
-  A      toggle overlay                 (ALT in the reference, main.c:65-67)
+  O      toggle overlay                 (ALT in the reference, main.c:65-67)
+  W/A/S/D     pan the camera            (main.c:71-85)
+  wheel       zoom to the pointer       (main.c:88-94, 104-110)
+  middle-drag pan                       (main.c:97-101)
 
-Pan/zoom come from matplotlib's own navigation. The fixed-timestep
-accumulator with frame-skip guard (main.c:140-163) is preserved: each drawn
-frame advances SPEED substeps of PHYS_STEP*step_mult, capped at
-MAX_OVERWORK*speed.
+Camera semantics follow main.c:71-110: WASD pans CAMERA_SPEED_DELTA/zoom
+world units per second (here per key-repeat event at a nominal event rate),
+the wheel multiplies zoom by 1 +- CAMERA_ZOOM_DELTA, and zooming keeps the
+world point under the pointer fixed (the reference's offset-to-mouse trick,
+main.c:104-110, is equivalent to scaling the view limits about the pointer).
+The fixed-timestep accumulator with frame-skip guard (main.c:140-163) is
+preserved: each drawn frame advances SPEED substeps of PHYS_STEP*step_mult,
+capped at MAX_OVERWORK*speed.
 
 For headless use, :func:`export_animation` writes an animated GIF via the
 device-side rasterizer (no per-frame host readback of anything but the
@@ -43,6 +50,13 @@ SPEEDS = [1, 2, 4, 8, 16, 32, 64, 128]
 STEPS = [0.1, 0.25, 0.5, 1.0, 2.0, 4.0]
 DEF_STEP_IDX = 3
 
+# Reference camera constants (main.c:17-18)
+CAMERA_SPEED_DELTA = 800.0  # px/s of pan at 1x zoom
+CAMERA_ZOOM_DELTA = 0.1     # zoom factor change per wheel notch
+# matplotlib delivers key-repeat events rather than per-frame key polling;
+# one event is treated as 1/NOMINAL_KEY_FPS seconds of held key
+NOMINAL_KEY_FPS = 30.0
+
 
 def _rgb(c):
     return tuple(v / 255.0 for v in c)
@@ -69,6 +83,9 @@ class Viewer:
         self.phys_time = 0.0
         self.skipped_frames = 0
         self._last_t: float | None = None
+        # camera state (attached axes + middle-drag tracking)
+        self.ax = None
+        self._drag_px: tuple[float, float] | None = None
 
     def _colors(self, mass: np.ndarray) -> np.ndarray:
         min_core = DEFAULT_GALAXY_CONFIG.min_gc_mass
@@ -97,13 +114,88 @@ class Viewer:
             self.step_idx -= 1
         elif k == "up" and self.step_idx < len(STEPS) - 1:
             self.step_idx += 1
-        elif k == "a":
+        elif k == "o":
             self.overlay = not self.overlay
+        elif k in ("w", "a", "s", "d"):
+            self.pan_key(k)
         elif k == "q":
             # quit (main.c:64); closing all figures ends plt.show()
             import matplotlib.pyplot as plt
 
             plt.close("all")
+
+    # -- camera (main.c:71-110 semantics on matplotlib view limits) -------
+    def zoom(self) -> float:
+        """Pixels per world unit of the attached axes (raylib camera.zoom)."""
+        if self.ax is None:
+            return 1.0
+        x0, x1 = self.ax.get_xlim()
+        width_px = self.ax.get_window_extent().width or 1.0
+        return float(width_px / max(x1 - x0, 1e-12))
+
+    def pan_key(self, k: str) -> None:
+        """WASD pan: CAMERA_SPEED_DELTA / zoom world units per second of
+        held key (main.c:71-85), one key-repeat event = 1/NOMINAL_KEY_FPS s.
+        W pans the view up (the reference's target.y -= in a y-down screen
+        space)."""
+        if self.ax is None:
+            return
+        d = CAMERA_SPEED_DELTA / (self.zoom() * NOMINAL_KEY_FPS)
+        dx = {"a": -d, "d": d}.get(k, 0.0)
+        dy = {"s": -d, "w": d}.get(k, 0.0)
+        x0, x1 = self.ax.get_xlim()
+        y0, y1 = self.ax.get_ylim()
+        self.ax.set_xlim(x0 + dx, x1 + dx)
+        self.ax.set_ylim(y0 + dy, y1 + dy)
+
+    def on_scroll(self, event) -> None:
+        """Wheel zoom about the pointer (main.c:88-94 + the offset-to-mouse
+        trick of main.c:104-110): zoom *= 1 +- CAMERA_ZOOM_DELTA; the world
+        point under the pointer stays under the pointer."""
+        if self.ax is None or event.xdata is None or event.ydata is None:
+            return
+        if event.step > 0:
+            factor = 1.0 + CAMERA_ZOOM_DELTA   # zoom in -> span shrinks
+        elif event.step < 0:
+            factor = 1.0 - CAMERA_ZOOM_DELTA
+        else:
+            return
+        px, py = event.xdata, event.ydata
+        x0, x1 = self.ax.get_xlim()
+        y0, y1 = self.ax.get_ylim()
+        self.ax.set_xlim(px - (px - x0) / factor, px + (x1 - px) / factor)
+        self.ax.set_ylim(py - (py - y0) / factor, py + (y1 - py) / factor)
+
+    def on_press(self, event) -> None:
+        if getattr(event, "button", None) == 2:  # middle (main.c:97)
+            self._drag_px = (event.x, event.y)
+
+    def on_release(self, event) -> None:
+        if getattr(event, "button", None) == 2:
+            self._drag_px = None
+
+    def on_motion(self, event) -> None:
+        """Middle-drag pan: target -= pixel_delta / zoom (main.c:97-101)."""
+        if self.ax is None or self._drag_px is None:
+            return
+        z = self.zoom()
+        dx = (event.x - self._drag_px[0]) / z
+        dy = (event.y - self._drag_px[1]) / z
+        self._drag_px = (event.x, event.y)
+        x0, x1 = self.ax.get_xlim()
+        y0, y1 = self.ax.get_ylim()
+        self.ax.set_xlim(x0 - dx, x1 - dx)
+        self.ax.set_ylim(y0 - dy, y1 - dy)
+
+    def attach(self, fig, ax) -> None:
+        """Wire the control handlers to a figure/axes pair (also used by the
+        headless tests via synthetic events)."""
+        self.ax = ax
+        fig.canvas.mpl_connect("key_press_event", self.on_key)
+        fig.canvas.mpl_connect("scroll_event", self.on_scroll)
+        fig.canvas.mpl_connect("button_press_event", self.on_press)
+        fig.canvas.mpl_connect("button_release_event", self.on_release)
+        fig.canvas.mpl_connect("motion_notify_event", self.on_motion)
 
     def advance(self, frame_time: float | None = None) -> None:
         """Advance the sim by the accumulator rule (main.c:140-163): bank
@@ -166,7 +258,7 @@ class Viewer:
         ax.set_ylim(pos[:, 1].min() - pad[1], pos[:, 1].max() + pad[1])
         text = ax.text(0.01, 0.99, "", transform=ax.transAxes, va="top",
                        color="lime", family="monospace")
-        fig.canvas.mpl_connect("key_press_event", self.on_key)
+        self.attach(fig, ax)
 
         import time as _time
 

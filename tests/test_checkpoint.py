@@ -1,6 +1,7 @@
 """Checkpoint/resume round-trip (capability the reference lacks; SURVEY.md §5)."""
 
 import numpy as np
+import pytest
 from helpers import TINY
 
 from nbody_tpu import create_world, make_galaxies
@@ -57,3 +58,50 @@ def test_orbax_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(resumed.particles.pos), np.asarray(w.particles.pos), rtol=1e-6
     )
+
+
+def test_orbax_sharded_native_restore(tmp_path):
+    """Sharded restore reads each shard to its device from disk — no
+    device->host gather of the arrays anywhere in the restore path."""
+    import jax
+    from nbody_tpu.parallel.sharding import ShardedWorld, make_mesh
+    from nbody_tpu.utils.checkpoint import (
+        load_sharded_world_orbax, save_world_orbax)
+
+    pytest.importorskip("orbax.checkpoint")
+    scene = make_galaxies(250, 1, seed=6)
+    mesh = make_mesh(4)
+    sw = ShardedWorld(scene, mesh, config=TINY, force_backend="jnp")
+    sw.update(0.01, 3)
+    sw.block_until_ready()
+    path = str(tmp_path / "ck_sharded")
+    save_world_orbax(path, sw, step=3)
+
+    with jax.transfer_guard_device_to_host("disallow"):
+        sw2, step = load_sharded_world_orbax(
+            path, mesh, config=TINY, force_backend="jnp")
+        jax.block_until_ready(sw2.pos)
+    assert step == 3
+    assert sw2.total_len == sw.total_len and sw2.mass_len == sw.mass_len
+    # restored arrays keep the mesh sharding
+    assert sw2.pos.sharding == sw.pos.sharding
+    np.testing.assert_array_equal(np.asarray(sw2.pos), np.asarray(sw.pos))
+    # and the restored world resumes identically to the original
+    sw.update(0.01, 2)
+    sw2.update(0.01, 2)
+    np.testing.assert_allclose(np.asarray(sw2.particles.pos),
+                               np.asarray(sw.particles.pos), atol=1e-6)
+
+
+def test_orbax_sharded_restore_layout_mismatch(tmp_path):
+    from nbody_tpu.parallel.sharding import ShardedWorld, make_mesh
+    from nbody_tpu.utils.checkpoint import (
+        load_sharded_world_orbax, save_world_orbax)
+
+    pytest.importorskip("orbax.checkpoint")
+    scene = make_galaxies(250, 1, seed=6)
+    sw = ShardedWorld(scene, make_mesh(4), config=TINY, force_backend="jnp")
+    path = str(tmp_path / "ck_mismatch")
+    save_world_orbax(path, sw, step=0)
+    with pytest.raises(ValueError, match="padded size"):
+        load_sharded_world_orbax(path, make_mesh(8), config=TINY)

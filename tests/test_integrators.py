@@ -101,7 +101,16 @@ def test_fused_kernel_leapfrog_matches_jnp():
     )
 
 
-def test_ring_backend_rejects_leapfrog():
-    with pytest.raises(ValueError, match="Euler only"):
-        ShardedWorld(make_galaxies(200, 1, seed=1), make_mesh(2),
-                     config=LEAP, force_backend="pallas_ring")
+def test_ring_backend_leapfrog_matches_jnp():
+    # in-kernel kick + half-drift (pos_dt=0.5) with the caller pre-drifting;
+    # must match the sharded jnp DKD trajectory
+    scene = make_galaxies(240, 1, seed=1)
+    swr = ShardedWorld(scene, make_mesh(2), config=LEAP,
+                       force_backend="pallas_ring")
+    swj = ShardedWorld(scene, make_mesh(2), config=LEAP, force_backend="jnp")
+    swr.update(0.01, 8)
+    swj.update(0.01, 8)
+    np.testing.assert_allclose(
+        np.asarray(swr.particles.pos), np.asarray(swj.particles.pos),
+        rtol=3e-4, atol=3e-3,
+    )

@@ -96,7 +96,8 @@ def test_streaming_sources_mode(n_devices):
         import nbody_tpu.parallel.sharding as sh
         orig = sh._fused_ring_step_shard
 
-        def patched(pos, vel, radius, gm_src, src_pos0, valid, dt, *, n_devices, config):
+        def patched(pos, vel, radius, gm_src, src_pos0, valid, dt, *,
+                    n_devices, config, pos_dt=1.0):
             import jax.numpy as jnp
             from nbody_tpu.ops.ring_forces import ring_substep as rs
             src = jnp.stack([src_pos0[:, 0], src_pos0[:, 1], gm_src], axis=0)

@@ -99,3 +99,80 @@ def test_accumulator_banks_fractional_frames():
     np.testing.assert_array_equal(np.asarray(v.world.particles.pos), p0)
     v.advance(frame_time=0.7 * PHYS_STEP)  # 1.1 ticks banked -> 1 update
     assert not np.array_equal(np.asarray(v.world.particles.pos), p0)
+
+
+def make_attached_viewer():
+    import matplotlib
+    matplotlib.use("Agg", force=True)
+    import matplotlib.pyplot as plt
+
+    v = make_viewer()
+    fig, ax = plt.subplots(figsize=(8, 6), dpi=100)
+    ax.set_xlim(-100.0, 100.0)
+    ax.set_ylim(-75.0, 75.0)
+    fig.canvas.draw()  # realize the window extent for zoom()
+    v.attach(fig, ax)
+    return v, fig, ax
+
+
+def test_wasd_pan_semantics():
+    # main.c:71-85: pan CAMERA_SPEED_DELTA/(zoom*fps); W pans the view up
+    from nbody_tpu.viewer import CAMERA_SPEED_DELTA, NOMINAL_KEY_FPS
+
+    v, fig, ax = make_attached_viewer()
+    z = v.zoom()
+    d = CAMERA_SPEED_DELTA / (z * NOMINAL_KEY_FPS)
+    x0, x1 = ax.get_xlim()
+    y0, y1 = ax.get_ylim()
+    v.on_key(key("d"))
+    assert ax.get_xlim() == (x0 + d, x1 + d)
+    v.on_key(key("a"))
+    assert ax.get_xlim() == (x0, x1)
+    v.on_key(key("w"))
+    assert ax.get_ylim() == (y0 + d, y1 + d)
+    v.on_key(key("s"))
+    assert ax.get_ylim() == (y0, y1)
+    # 'a' must pan, not toggle the overlay ('o' does that now)
+    assert v.overlay
+    v.on_key(key("o"))
+    assert not v.overlay
+
+
+def test_wheel_zoom_to_pointer():
+    # main.c:88-94 + 104-110: zoom *= 1.1 and the world point under the
+    # pointer stays at the same axes fraction
+    v, fig, ax = make_attached_viewer()
+    px, py = 40.0, -30.0
+    x0, x1 = ax.get_xlim()
+    frac_x = (px - x0) / (x1 - x0)
+    span0 = x1 - x0
+
+    ev = types.SimpleNamespace(step=1, xdata=px, ydata=py)
+    v.on_scroll(ev)
+    nx0, nx1 = ax.get_xlim()
+    assert np.isclose((nx1 - nx0), span0 / 1.1)
+    assert np.isclose((px - nx0) / (nx1 - nx0), frac_x)
+
+    ev = types.SimpleNamespace(step=-1, xdata=px, ydata=py)
+    v.on_scroll(ev)
+    # zoom out by 1-0.1 (reference multiplies by 0.9, not divides by 1.1)
+    nx0b, nx1b = ax.get_xlim()
+    assert np.isclose(nx1b - nx0b, (span0 / 1.1) / 0.9)
+    assert np.isclose((px - nx0b) / (nx1b - nx0b), frac_x)
+
+
+def test_middle_drag_pan():
+    v, fig, ax = make_attached_viewer()
+    z = v.zoom()
+    x0, x1 = ax.get_xlim()
+    v.on_press(types.SimpleNamespace(button=2, x=400.0, y=300.0))
+    v.on_motion(types.SimpleNamespace(x=410.0, y=300.0))  # 10 px right
+    nx0, nx1 = ax.get_xlim()
+    assert np.isclose(nx0, x0 - 10.0 / z) and np.isclose(nx1, x1 - 10.0 / z)
+    v.on_release(types.SimpleNamespace(button=2))
+    v.on_motion(types.SimpleNamespace(x=500.0, y=300.0))  # no drag: no-op
+    assert ax.get_xlim() == (nx0, nx1)
+    # left button must NOT drag (reference uses middle, main.c:97)
+    v.on_press(types.SimpleNamespace(button=1, x=0.0, y=0.0))
+    v.on_motion(types.SimpleNamespace(x=50.0, y=0.0))
+    assert ax.get_xlim() == (nx0, nx1)
