@@ -139,7 +139,10 @@ def main():
     ap.add_argument("--n", type=int, default=65536, help="primary metric particle count")
     ap.add_argument("--iters", type=int, default=BENCH_ITER)
     ap.add_argument("--warmup", type=int, default=WARMUP_ITER)
-    ap.add_argument("--repeats", type=int, default=3)
+    # the remote-TPU tunnel here jitters ±10% run-to-run; best-of-5 keeps the
+    # primary metric near the hardware's actual rate (each repeat ~1s device
+    # time at the default N)
+    ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--backend", default=None,
                     choices=["pallas", "jnp", "pallas_fused"],
                     help="force a backend (default: the framework's own "
