@@ -1,0 +1,127 @@
+"""Particle-mesh (PM) far-field gravity: O(N + G^2 log G) per substep.
+
+Beyond-reference capability (the reference is direct-sum only,
+``particle_cs.glsl:35-49``): an approximate long-range solver for very large
+N, built from TPU-friendly primitives only — CIC scatter-add, 2-D real FFTs
+(XLA-native), a pointwise spectral multiply, and CIC gather. No trees, no
+data-dependent control flow, static shapes: everything jits and shards.
+
+Physics: the same force law as the reference — 3-D-like softened inverse
+square restricted to the plane, ``acc_i = sum_j G m_j (s_j - t_i) /
+(|s_j - t_i|^2 + eps^2)^{3/2}`` — evaluated by free-space convolution:
+
+  rho  = CIC(src, gm)                      (G, G) mass grid
+  A_x  = conv(rho, Kx),  Kx(v) = v_x / (|v|^2 + eps^2)^{3/2}
+  acc  = CIC-gather(A_x, A_y)(targets)
+
+The convolution is linear (zero-padded to 2G per axis — true free-space
+boundaries, no periodic images). The grid box adapts to the particle
+bounding square every call with *traced* bounds, so one compilation serves
+the whole simulation while the box follows the system.
+
+Approximation error vs the direct sum: pairs separated by >~ 3 grid cells
+are accurate to the CIC/kernel discretization (~h^2); sub-cell pairs are
+smoothed to the global softening ``eps`` instead of the reference's
+per-target ``+ radius`` term. Accuracy therefore improves with ``grid`` and
+degrades for close encounters — this is a far-field solver; the exact
+backends remain the parity reference. See tests/test_pm.py for measured
+error envelopes and BENCHMARKS.md for the N=1M speedup.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..types import DTYPE
+
+
+def _cic_weights(pos, lo, inv_h, grid):
+    """Cloud-in-cell: cell index pairs and bilinear weights for each point.
+
+    Cell centers sit at lo + (i + 0.5) h. Returns (i0, j0, wx, wy) with the
+    four corners (i0, j0)..(i0+1, j0+1); indices clamped into the grid."""
+    u = (pos[:, 0] - lo[0]) * inv_h - 0.5
+    v = (pos[:, 1] - lo[1]) * inv_h - 0.5
+    i0 = jnp.floor(u)
+    j0 = jnp.floor(v)
+    wx = u - i0
+    wy = v - j0
+    i0 = jnp.clip(i0.astype(jnp.int32), 0, grid - 2)
+    j0 = jnp.clip(j0.astype(jnp.int32), 0, grid - 2)
+    return i0, j0, wx, wy
+
+
+@functools.partial(jax.jit, static_argnames=("grid",))
+def pm_acc(
+    tgt_pos: jax.Array,   # (T, 2)
+    src_pos: jax.Array,   # (S, 2)
+    src_gm: jax.Array,    # (S,)  G*mass (zero rows are inert, as everywhere)
+    softening: jax.Array | float = 2.0,
+    *,
+    grid: int = 512,
+) -> jax.Array:
+    """Far-field accelerations on targets from sources via particle-mesh.
+
+    ``softening`` is a single global Plummer length (the PM analogue of the
+    reference's per-target ``+ radius``); it is traced, so changing it never
+    recompiles. ``grid`` is static (one compile per resolution).
+    """
+    eps2 = jnp.asarray(softening, DTYPE) ** 2
+
+    # adaptive square box over sources AND targets, with one-cell margin
+    all_min = jnp.minimum(tgt_pos.min(axis=0), src_pos.min(axis=0))
+    all_max = jnp.maximum(tgt_pos.max(axis=0), src_pos.max(axis=0))
+    center = 0.5 * (all_min + all_max)
+    half = 0.5 * jnp.max(all_max - all_min) * (1.0 + 4.0 / grid) + 1e-3
+    lo = center - half
+    h = 2.0 * half / grid
+    inv_h = 1.0 / h
+
+    # --- CIC scatter: mass grid ------------------------------------------
+    i0, j0, wx, wy = _cic_weights(src_pos, lo, inv_h, grid)
+    rho = jnp.zeros((grid, grid), DTYPE)
+    for di, dj, w in (
+        (0, 0, (1 - wx) * (1 - wy)),
+        (1, 0, wx * (1 - wy)),
+        (0, 1, (1 - wx) * wy),
+        (1, 1, wx * wy),
+    ):
+        rho = rho.at[i0 + di, j0 + dj].add(src_gm * w)
+
+    # --- free-space convolution with the softened 1/r^2 kernel ------------
+    # displacement grid in wraparound order: d in [-G, G) cells
+    n2 = 2 * grid
+    idx = jnp.arange(n2)
+    d = jnp.where(idx < grid, idx, idx - n2).astype(DTYPE)  # 0..G-1, -G..-1
+    dx = d[:, None] * h
+    dy = d[None, :] * h
+    r2 = dx * dx + dy * dy + eps2
+    inv_r3 = jax.lax.rsqrt(r2) / r2
+    kx = dx * inv_r3  # K(v) = v / (|v|^2 + eps^2)^{3/2}
+    ky = dy * inv_r3
+
+    rho_pad = jnp.zeros((n2, n2), DTYPE).at[:grid, :grid].set(rho)
+    f_rho = jnp.fft.rfft2(rho_pad)
+    # A(c) = sum_{c'} rho(c') K(c' - c): correlation; K is odd, so this is
+    # minus the convolution.
+    ax_grid = -jnp.fft.irfft2(f_rho * jnp.fft.rfft2(kx), s=(n2, n2))
+    ay_grid = -jnp.fft.irfft2(f_rho * jnp.fft.rfft2(ky), s=(n2, n2))
+    ax_grid = ax_grid[:grid, :grid]
+    ay_grid = ay_grid[:grid, :grid]
+
+    # --- CIC gather at target positions -----------------------------------
+    i0, j0, wx, wy = _cic_weights(tgt_pos, lo, inv_h, grid)
+    ax = jnp.zeros(tgt_pos.shape[0], DTYPE)
+    ay = jnp.zeros_like(ax)
+    for di, dj, w in (
+        (0, 0, (1 - wx) * (1 - wy)),
+        (1, 0, wx * (1 - wy)),
+        (0, 1, (1 - wx) * wy),
+        (1, 1, wx * wy),
+    ):
+        ax = ax + w * ax_grid[i0 + di, j0 + dj]
+        ay = ay + w * ay_grid[i0 + di, j0 + dj]
+    return jnp.stack([ax, ay], axis=-1).astype(DTYPE)

@@ -145,12 +145,19 @@ class SimConfig:
     # evaluation per substep, no carried state. Beyond-reference option;
     # default preserves exact reference semantics.
     integrator: str = "euler"
+    # Particle-mesh far-field backend ("pm"): grid resolution (static; one
+    # compile per value) and the global Plummer softening length (traced).
+    # Approximate solver for very large N — see ops/pm_forces.py.
+    pm_grid: int = 512
+    pm_softening: float = 2.0
 
     def __post_init__(self):
         if self.integrator not in ("euler", "leapfrog"):
             raise ValueError(
                 f"integrator must be 'euler' or 'leapfrog', got {self.integrator!r}"
             )
+        if self.pm_grid < 64:
+            raise ValueError(f"pm_grid must be >= 64, got {self.pm_grid}")
         if (self.tile_targets % 8 or self.tile_sources % 128
                 or self.kernel_tile_targets % 8):
             raise ValueError(

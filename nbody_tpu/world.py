@@ -47,7 +47,7 @@ from .types import (
     round_up,
 )
 
-Backend = Literal["jnp", "pallas", "pallas_fused"]
+Backend = Literal["jnp", "pallas", "pallas_fused", "pm"]
 
 
 # Measured on TPU v5e (docs/BENCHMARKS.md, docs/DESIGN.md §3): the round-2
@@ -206,6 +206,14 @@ def _force(
             state.pos, state.radius, src_pos, src_gm,
             chunk=chunk, precise=config.precise,
         )
+    if backend == "pm":
+        # particle-mesh far field: O(N + G^2 log G); approximate (global
+        # softening instead of the per-target radius term) — opt-in for
+        # very large N (ops/pm_forces.py)
+        from .ops.pm_forces import pm_acc
+
+        return pm_acc(state.pos, src_pos, src_gm,
+                      softening=config.pm_softening, grid=config.pm_grid)
     raise ValueError(f"unknown backend {backend!r}")
 
 
@@ -214,7 +222,7 @@ def effective_src_len(backend: Backend, src_len: int, mass_len: int) -> int:
     exactly ``mass_len`` (no alignment requirement); the round-2 Pallas
     kernel needs only the 128-lane alignment (``src_len`` already satisfies
     the streaming-block rule when sources exceed the residency budget)."""
-    if backend == "jnp":
+    if backend in ("jnp", "pm"):
         return max(mass_len, 1)
     return src_len
 

@@ -1,0 +1,84 @@
+"""Particle-mesh far-field solver (ops/pm_forces.py) — beyond-reference
+approximate backend. Accuracy envelopes vs the exact direct sum, grid
+convergence, and World integration."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import nbody_tpu as nb
+from nbody_tpu import forces
+from nbody_tpu.ops.pm_forces import pm_acc
+from nbody_tpu.types import SimConfig
+
+
+def test_two_body_far_field_exact():
+    # well-separated point masses: PM must reproduce 1/r^2 to sub-percent
+    pos = jnp.array([[-5000.0, 0.0], [5000.0, 0.0]], jnp.float32)
+    gm = jnp.array([1e6, 1e6], jnp.float32)
+    acc = np.asarray(pm_acc(pos, pos, gm, softening=1.0, grid=512))
+    exact = 1e6 / 10000.0**2
+    np.testing.assert_allclose(acc[0, 0], exact, rtol=0.01)
+    np.testing.assert_allclose(acc[1, 0], -exact, rtol=0.01)
+    # antisymmetry: y-component only at mesh-discretization level
+    np.testing.assert_allclose(acc[:, 1], 0.0, atol=5e-3 * exact)
+
+
+def _galaxy_errors(grid):
+    scene = nb.make_galaxies(2048, 2, seed=11037)
+    w = nb.create_world(scene)
+    pos = w.state.pos[: w.total_len]
+    src = pos[: w.mass_len]
+    gm = w.gm[: w.mass_len]
+    ref = np.asarray(forces.direct_sum_acc(
+        pos, w.state.radius[: w.total_len], src, gm, chunk=None, precise=True))
+    got = np.asarray(pm_acc(pos, src, gm, softening=2.0, grid=grid))
+    mag = np.hypot(ref[:, 0], ref[:, 1])
+    return np.hypot(*(got - ref).T) / (mag + 0.01 * mag.mean())
+
+
+def test_galaxy_scene_error_envelope():
+    err = _galaxy_errors(512)
+    assert np.median(err) < 0.005
+    assert np.percentile(err, 90) < 0.02
+    assert np.percentile(err, 99) < 0.08
+
+
+def test_grid_convergence():
+    # finer mesh -> smaller far-field error (p90 over a real scene)
+    e256 = np.percentile(_galaxy_errors(256), 90)
+    e1024 = np.percentile(_galaxy_errors(1024), 90)
+    assert e1024 < e256
+
+
+def test_world_pm_backend_matches_jnp_trajectory():
+    # short-horizon trajectory agreement on a smooth scene
+    scene = nb.make_galaxies(1500, 1, seed=5)
+    cfg = SimConfig(tile_targets=128, pm_grid=512)
+    wp = nb.create_world(scene, config=cfg, default_backend="pm")
+    wj = nb.create_world(scene, config=cfg, default_backend="jnp")
+    wp.update(0.01, 20)
+    wj.update(0.01, 20)
+    a = np.asarray(wp.particles.pos)
+    b = np.asarray(wj.particles.pos)
+    scale = np.abs(b).max()
+    per_particle = np.abs(a - b).max(axis=1) / scale
+    # bulk trajectory agrees tightly; a handful of sub-cell close encounters
+    # see the smoothed force (that is the PM approximation, by design)
+    assert np.percentile(per_particle, 99) < 1e-3
+    assert per_particle.max() < 5e-2
+    assert np.all(np.isfinite(a))
+
+
+def test_pm_momentum_approximately_conserved():
+    # the odd convolution kernel gives pairwise antisymmetric mesh forces;
+    # total momentum of the massive set drifts only at discretization level
+    scene = nb.make_galaxies(1500, 1, seed=7)
+    w = nb.create_world(scene, default_backend="pm")
+    m = np.asarray(w.particles.mass, np.float64)
+    p0 = (m[:, None] * np.asarray(w.particles.vel, np.float64)).sum(0)
+    w.update(0.01, 50)
+    p1 = (m[:, None] * np.asarray(w.particles.vel, np.float64)).sum(0)
+    vscale = float(m.sum() * max(1.0, np.abs(np.asarray(w.particles.vel)).max()))
+    assert np.linalg.norm(p1 - p0) / vscale < 1e-4
