@@ -1,0 +1,38 @@
+#!/usr/bin/env python
+"""Million-particle galaxy collision at interactive rates with the
+particle-mesh far-field backend (backend="pm": CIC -> FFT convolution ->
+CIC; O(N + G^2 log G) per substep — ~19x the exact direct sum at N=1M on a
+single v5e chip, docs/BENCHMARKS.md).
+
+Usage: python examples/pm_million.py [n] [frames]
+Writes pm_million.gif next to the script.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+import nbody_tpu as nb
+from nbody_tpu.types import SimConfig
+from nbody_tpu.viewer import export_animation
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_048_576
+FRAMES = int(sys.argv[2]) if len(sys.argv) > 2 else 60
+
+scene = nb.make_galaxies(N, 2, seed=11037)
+world = nb.create_world(scene, config=SimConfig(pm_grid=1024),
+                        default_backend="pm")
+print(f"N={world.total_len} massive={world.mass_len} backend=pm grid=1024")
+
+t0 = time.perf_counter()
+out = os.path.join(os.path.dirname(__file__), "pm_million.gif")
+export_animation(world, out, frames=FRAMES, steps_per_frame=4, dt=0.005,
+                 width=640, height=360)
+dtv = time.perf_counter() - t0
+print(f"{FRAMES} frames x 4 substeps in {dtv:.1f}s "
+      f"({dtv / (FRAMES * 4) * 1e3:.0f} ms/substep incl. rendering) -> {out}")
+assert np.all(np.isfinite(np.asarray(world.particles.pos)))

@@ -72,6 +72,20 @@ def rollout(
             )[:s_pad]
             return acc_fn(pp, rr, sp, sg)[:n]
 
+    elif backend == "pm":
+        # particle-mesh far field: pure jnp (FFT + scatter/gather), so
+        # reverse-mode AD flows through natively — a differentiable
+        # O(N + G^2 log G) solver for large-N rollouts
+        from .ops.pm_forces import pm_acc
+        from .types import DEFAULT_SIM_CONFIG
+
+        gm = gm_full[:mass_len]
+
+        def force(p):
+            return pm_acc(p, p[:mass_len], gm,
+                          softening=DEFAULT_SIM_CONFIG.pm_softening,
+                          grid=DEFAULT_SIM_CONFIG.pm_grid)
+
     else:
         gm = gm_full[:mass_len]
 

@@ -82,3 +82,29 @@ def test_pm_momentum_approximately_conserved():
     p1 = (m[:, None] * np.asarray(w.particles.vel, np.float64)).sum(0)
     vscale = float(m.sum() * max(1.0, np.abs(np.asarray(w.particles.vel)).max()))
     assert np.linalg.norm(p1 - p0) / vscale < 1e-4
+
+
+def test_pm_rollout_gradients_match_direct():
+    # PM is pure jnp, so jax.grad flows natively; on a smooth scene its
+    # gradient w.r.t. initial positions tracks the exact solver's
+    import jax
+    from nbody_tpu.autodiff import rollout
+
+    scene = nb.make_galaxies(300, 1, seed=2)
+    w = nb.create_world(scene)
+    host = w.particles
+    pos = jnp.asarray(host.pos)
+    vel = jnp.asarray(host.vel)
+    mass = jnp.asarray(host.mass)
+    radius = jnp.asarray(host.radius)
+
+    def loss(p0, backend):
+        p, v = rollout(p0, vel, mass, radius, 0.01, n_steps=5,
+                       mass_len=w.mass_len, backend=backend)
+        return jnp.sum(p**2)
+
+    g_pm = np.asarray(jax.grad(lambda p: loss(p, "pm"))(pos))
+    g_ref = np.asarray(jax.grad(lambda p: loss(p, "jnp"))(pos))
+    scale = np.abs(g_ref).max()
+    err = np.percentile(np.abs(g_pm - g_ref).max(axis=1) / scale, 95)
+    assert err < 2e-2, f"p95 gradient mismatch {err:.3f}"
