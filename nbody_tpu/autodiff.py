@@ -26,7 +26,8 @@ from .types import G, Particles
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_steps", "mass_len", "precise", "remat", "g", "backend"),
+    static_argnames=("n_steps", "mass_len", "precise", "remat", "g", "backend",
+                     "pm_grid"),
 )
 def rollout(
     pos: jax.Array,
@@ -41,6 +42,8 @@ def rollout(
     remat: bool = True,
     g: float = G,
     backend: str = "jnp",
+    pm_grid: int = 512,
+    pm_softening: float = 2.0,
 ):
     """Differentiable n_steps-substep rollout. Inputs must be in
     massive-first order (sources = rows [0, mass_len)). Returns final
@@ -77,14 +80,12 @@ def rollout(
         # reverse-mode AD flows through natively — a differentiable
         # O(N + G^2 log G) solver for large-N rollouts
         from .ops.pm_forces import pm_acc
-        from .types import DEFAULT_SIM_CONFIG
 
         gm = gm_full[:mass_len]
 
         def force(p):
             return pm_acc(p, p[:mass_len], gm,
-                          softening=DEFAULT_SIM_CONFIG.pm_softening,
-                          grid=DEFAULT_SIM_CONFIG.pm_grid)
+                          softening=pm_softening, grid=pm_grid)
 
     else:
         gm = gm_full[:mass_len]

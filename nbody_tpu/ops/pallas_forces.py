@@ -177,6 +177,10 @@ def _substep_call(
 ):
     t = tgt.shape[1]
     s = src.shape[1]
+    if tile_sources % SOURCE_ALIGN:
+        raise ValueError(
+            f"tile_sources={tile_sources} must be a multiple of "
+            f"{SOURCE_ALIGN} (the kernel accumulates in 128-wide slices)")
     tile_t = min(tile_targets, t)
     # Short source rows collapse the chunk loop (n_full <= 1), which widens
     # Mosaic live ranges enough that a (1024, 2048) block overflows the 16MB

@@ -62,18 +62,37 @@ def pm_acc(
     softening: jax.Array | float = 2.0,
     *,
     grid: int = 512,
+    tgt_mask: jax.Array | None = None,
 ) -> jax.Array:
     """Far-field accelerations on targets from sources via particle-mesh.
 
     ``softening`` is a single global Plummer length (the PM analogue of the
     reference's per-target ``+ radius``); it is traced, so changing it never
     recompiles. ``grid`` is static (one compile per resolution).
+    ``tgt_mask`` (optional (T,) or (T,1) 0/1 row) excludes padding targets
+    from the adaptive box (their gathered values are garbage-but-finite and
+    the caller masks them); zero-``gm`` sources are likewise excluded, so a
+    world padded with origin-pinned rows does not inflate the grid box.
     """
     eps2 = jnp.asarray(softening, DTYPE) ** 2
 
-    # adaptive square box over sources AND targets, with one-cell margin
-    all_min = jnp.minimum(tgt_pos.min(axis=0), src_pos.min(axis=0))
-    all_max = jnp.maximum(tgt_pos.max(axis=0), src_pos.max(axis=0))
+    # adaptive square box over real sources AND targets, with margin;
+    # padding rows (origin-pinned) must not inflate it
+    src_real = src_gm != 0.0
+    s_min = jnp.min(jnp.where(src_real[:, None], src_pos, jnp.inf), axis=0)
+    s_max = jnp.max(jnp.where(src_real[:, None], src_pos, -jnp.inf), axis=0)
+    if tgt_mask is not None:
+        t_real = jnp.reshape(tgt_mask, (-1,)) != 0.0
+        t_min = jnp.min(jnp.where(t_real[:, None], tgt_pos, jnp.inf), axis=0)
+        t_max = jnp.max(jnp.where(t_real[:, None], tgt_pos, -jnp.inf), axis=0)
+    else:
+        t_min = tgt_pos.min(axis=0)
+        t_max = tgt_pos.max(axis=0)
+    all_min = jnp.minimum(t_min, s_min)
+    all_max = jnp.maximum(t_max, s_max)
+    # all-masked degenerate case (e.g. no massive sources): keep finite
+    all_min = jnp.where(jnp.isfinite(all_min), all_min, 0.0)
+    all_max = jnp.where(jnp.isfinite(all_max), all_max, 1.0)
     center = 0.5 * (all_min + all_max)
     half = 0.5 * jnp.max(all_max - all_min) * (1.0 + 4.0 / grid) + 1e-3
     lo = center - half
@@ -100,6 +119,9 @@ def pm_acc(
     dy = d[None, :] * h
     r2 = dx * dx + dy * dy + eps2
     inv_r3 = jax.lax.rsqrt(r2) / r2
+    # guard the zero-displacement sample: with eps=0 it is 0*inf -> NaN,
+    # which the FFT would smear over every particle
+    inv_r3 = jnp.where(r2 > 0.0, inv_r3, 0.0)
     kx = dx * inv_r3  # K(v) = v / (|v|^2 + eps^2)^{3/2}
     ky = dy * inv_r3
 

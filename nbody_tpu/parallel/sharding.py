@@ -353,6 +353,25 @@ class ShardedWorld:
 
         self._substep = substep
 
+        @functools.partial(jax.jit, static_argnames=("frames", "steps"),
+                           donate_argnums=(0, 1, 2))
+        def record_run(pos, vel, acc, radius, gm_src, valid, dt, *,
+                       frames, steps):
+            def frame_body(carry, _):
+                pos, vel, acc = carry
+                pos, vel, acc = jax.lax.fori_loop(
+                    0, steps,
+                    lambda _, c: substep(*c, radius, gm_src, valid, dt),
+                    (pos, vel, acc))
+                return (pos, vel, acc), pos
+
+            return jax.lax.scan(frame_body, (pos, vel, acc), None,
+                                length=frames)
+
+        # one jit cache per world instance (keyed on frames/steps), so
+        # repeated captures never retrace
+        self._record_fn = record_run
+
         @functools.partial(
             jax.jit, donate_argnums=(0, 1, 2),
         )
@@ -374,21 +393,7 @@ class ShardedWorld:
         built to kill — ref TODO README.md:97).
 
         Advances the world's state. Returns host (frames, total_len, 2)."""
-        substep = self._substep
-
-        @functools.partial(jax.jit, static_argnames=("frames", "steps"),
-                           donate_argnums=(0, 1, 2))
-        def run(pos, vel, acc, radius, gm_src, valid, dt, *, frames, steps):
-            def frame_body(carry, _):
-                pos, vel, acc = carry
-                pos, vel, acc = jax.lax.fori_loop(
-                    0, steps,
-                    lambda _, c: substep(*c, radius, gm_src, valid, dt),
-                    (pos, vel, acc))
-                return (pos, vel, acc), pos
-
-            return jax.lax.scan(frame_body, (pos, vel, acc), None,
-                                length=frames)
+        run = self._record_fn
 
         (self.pos, self.vel, self.acc), traj = run(
             self.pos, self.vel, self.acc, self.radius, self.gm_src,

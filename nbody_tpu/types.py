@@ -158,6 +158,9 @@ class SimConfig:
             )
         if self.pm_grid < 64:
             raise ValueError(f"pm_grid must be >= 64, got {self.pm_grid}")
+        if self.pm_softening <= 0:
+            raise ValueError(
+                f"pm_softening must be > 0, got {self.pm_softening}")
         if (self.tile_targets % 8 or self.tile_sources % 128
                 or self.kernel_tile_targets % 8):
             raise ValueError(

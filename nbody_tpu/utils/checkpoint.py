@@ -91,7 +91,11 @@ def save_world_orbax(path: str, world, step: int = 0) -> None:
 def _restore_meta(ckpt, base):
     import os
 
-    return {k: int(v) for k, v in ckpt.restore(os.path.join(base, "meta")).items()}
+    meta_dir = os.path.join(base, "meta")
+    if not os.path.isdir(meta_dir):
+        raise FileNotFoundError(
+            f"{base} is not a meta+arrays Orbax checkpoint (round-2 layout)")
+    return {k: int(v) for k, v in ckpt.restore(meta_dir).items()}
 
 
 def load_world_orbax(path: str, world_cls=None, **world_kwargs):
@@ -108,8 +112,13 @@ def load_world_orbax(path: str, world_cls=None, **world_kwargs):
         from ..world import World as world_cls  # noqa: N813
     base = os.path.abspath(path)
     with ocp.StandardCheckpointer() as ckpt:
-        meta = _restore_meta(ckpt, base)
-        tree = ckpt.restore(os.path.join(base, "arrays"))
+        try:
+            meta = _restore_meta(ckpt, base)
+            tree = ckpt.restore(os.path.join(base, "arrays"))
+        except FileNotFoundError:
+            # round-1 layout: one flat tree with scalars inline
+            tree = ckpt.restore(base)
+            meta = {k: int(tree[k]) for k in ("step", "total_len", "mass_len")}
     n = meta["total_len"]
     p = make_particles(
         tree["pos"][:n], vel=tree["vel"][:n], acc=tree["acc"][:n],

@@ -162,7 +162,7 @@ def _step(
         mid = Particles(pos=pos_h, vel=state.vel, acc=state.acc,
                         mass=state.mass, radius=state.radius)
         acc = _force(mid, gm, src_len=src_len, config=config,
-                     backend=backend, interpret=interpret) * valid
+                     backend=backend, interpret=interpret, valid=valid) * valid
         vel = state.vel + dt * acc
         pos = pos_h + half * vel
         return Particles(pos=pos, vel=vel, acc=acc,
@@ -171,7 +171,7 @@ def _step(
     # Padding rows stay identically zero (replaces the shader's
     # `if (i >= total_len) return` guard, particle_cs.glsl:30).
     acc = _force(state, gm, src_len=src_len, config=config,
-                 backend=backend, interpret=interpret) * valid
+                 backend=backend, interpret=interpret, valid=valid) * valid
     vel = state.vel + dt * acc
     pos = state.pos + dt * vel
     return Particles(pos=pos, vel=vel, acc=acc, mass=state.mass, radius=state.radius)
@@ -185,6 +185,7 @@ def _force(
     config: SimConfig,
     backend: Backend,
     interpret: bool | None,
+    valid: jax.Array | None = None,
 ) -> jax.Array:
     """Backend-dispatched direct-sum acceleration (unmasked)."""
     src_pos = state.pos[:src_len]
@@ -213,7 +214,8 @@ def _force(
         from .ops.pm_forces import pm_acc
 
         return pm_acc(state.pos, src_pos, src_gm,
-                      softening=config.pm_softening, grid=config.pm_grid)
+                      softening=config.pm_softening, grid=config.pm_grid,
+                      tgt_mask=valid)
     raise ValueError(f"unknown backend {backend!r}")
 
 

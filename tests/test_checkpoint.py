@@ -105,3 +105,27 @@ def test_orbax_sharded_restore_layout_mismatch(tmp_path):
     save_world_orbax(path, sw, step=0)
     with pytest.raises(ValueError, match="padded size"):
         load_sharded_world_orbax(path, make_mesh(8), config=TINY)
+
+
+def test_orbax_legacy_flat_layout_still_loads(tmp_path):
+    # round-1 checkpoints were one flat tree; the loader falls back to it
+    import os
+    ocp = pytest.importorskip("orbax.checkpoint")
+    from nbody_tpu.utils.checkpoint import load_world_orbax
+
+    scene = make_galaxies(200, 1, seed=2)
+    w = create_world(scene, config=TINY)
+    state = w.state
+    tree = {
+        "pos": state.pos, "vel": state.vel, "acc": state.acc,
+        "mass": state.mass, "radius": state.radius,
+        "step": np.int64(7), "total_len": np.int64(w.total_len),
+        "mass_len": np.int64(w.mass_len),
+    }
+    path = str(tmp_path / "legacy_ck")
+    with ocp.StandardCheckpointer() as ckpt:
+        ckpt.save(os.path.abspath(path), tree, force=True)
+    w2, step = load_world_orbax(path, config=TINY)
+    assert step == 7 and w2.total_len == w.total_len
+    np.testing.assert_array_equal(np.asarray(w2.state.pos),
+                                  np.asarray(w.state.pos))

@@ -135,3 +135,17 @@ def test_integrate_is_semi_implicit_euler():
     np.testing.assert_allclose(np.asarray(new_vel), [[1.0, 0.5]])
     # pos uses the NEW velocity
     np.testing.assert_allclose(np.asarray(new_pos), [[1.5, 0.25]])
+
+
+def test_pallas_rejects_unaligned_tile_sources():
+    # code-review r2: unaligned tile_sources would silently drop the
+    # size % 128 lanes of every chunk (0.6 rel error) — must raise instead
+    import pytest
+    from nbody_tpu.ops.pallas_forces import pallas_acc
+
+    pos = jnp.zeros((256, 2), jnp.float32)
+    rad = jnp.ones((256,), jnp.float32)
+    src = jnp.zeros((256, 2), jnp.float32)
+    gm = jnp.ones((256,), jnp.float32)
+    with pytest.raises(ValueError, match="tile_sources"):
+        pallas_acc(pos, rad, src, gm, tile_sources=192)

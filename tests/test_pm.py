@@ -108,3 +108,35 @@ def test_pm_rollout_gradients_match_direct():
     scale = np.abs(g_ref).max()
     err = np.percentile(np.abs(g_pm - g_ref).max(axis=1) / scale, 95)
     assert err < 2e-2, f"p95 gradient mismatch {err:.3f}"
+
+
+def test_pm_box_ignores_padding_rows():
+    """World padding rows are pinned at the origin; the adaptive PM box must
+    not include them (code-review r2 finding: a cluster far from the origin
+    silently got a ~20x coarser mesh). Property: the padded world's PM force
+    equals PM evaluated on the tightly-sliced real rows."""
+    rng = np.random.RandomState(0)
+    pos = rng.randn(1000, 2).astype(np.float32) * 50 + 5000.0
+    mass = np.abs(rng.randn(1000)).astype(np.float32) + 0.5
+    p = nb.make_particles(pos, mass=mass)
+    w = nb.create_world(p, default_backend="pm")
+    assert w.n_pad > w.total_len  # padding rows exist at (0, 0)
+    tight = np.asarray(pm_acc(
+        w.state.pos[: w.total_len], w.state.pos[: w.mass_len],
+        w.gm[: w.mass_len], softening=2.0, grid=512))
+    w.update(0.0, 1)  # dt=0: pure force evaluation into acc
+    got = np.asarray(w.particles.acc)
+    scale = np.abs(tight).max()
+    np.testing.assert_allclose(got / scale, tight / scale, atol=1e-5)
+
+
+def test_pm_softening_validation_and_zero_guard():
+    from nbody_tpu.types import SimConfig as SC
+
+    with pytest.raises(ValueError, match="pm_softening"):
+        SC(pm_softening=0.0)
+    # direct call with softening=0 must stay finite (kernel-center guard)
+    pos = jnp.array([[-100.0, 0.0], [100.0, 0.0]], jnp.float32)
+    gm = jnp.array([1e4, 1e4], jnp.float32)
+    acc = np.asarray(pm_acc(pos, pos, gm, softening=0.0, grid=64))
+    assert np.all(np.isfinite(acc))
