@@ -74,8 +74,16 @@ def run_ladder(args):
         for b in backends:
             w = make_world(n)
             # amortize the per-call host->device round trip (tens of ms on
-            # remote-attached devices) at small N; 10 iters suffice at huge N
-            iters = 2000 if n <= 4000 else (BENCH_ITER if n <= 200000 else 10)
+            # remote-attached devices): keep device time per timed call well
+            # above the RTT at every size; 10 iters suffice at huge N
+            if n <= 4000:
+                iters = 2000
+            elif n <= 50000:
+                iters = 500
+            elif n <= 200000:
+                iters = BENCH_ITER
+            else:
+                iters = 10
             us = bench_world(w, b, iters)
             row.append(f"{us:>12.1f}")
             pairs_rate[b] = w.total_len * w.mass_len / (us / 1e6)

@@ -95,7 +95,11 @@ def _restore_meta(ckpt, base):
     if not os.path.isdir(meta_dir):
         raise FileNotFoundError(
             f"{base} is not a meta+arrays Orbax checkpoint (round-2 layout)")
-    return {k: int(v) for k, v in ckpt.restore(meta_dir).items()}
+    import jax
+
+    target = {k: jax.ShapeDtypeStruct((), np.int64)
+              for k in ("step", "total_len", "mass_len", "n_pad")}
+    return {k: int(v) for k, v in ckpt.restore(meta_dir, target).items()}
 
 
 def load_world_orbax(path: str, world_cls=None, **world_kwargs):
