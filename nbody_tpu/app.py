@@ -37,6 +37,10 @@ def _add_scene_args(p: argparse.ArgumentParser) -> None:
                    help="exact sqrt+divide force math (reference shader semantics)")
     p.add_argument("--integrator", choices=["euler", "leapfrog"], default="euler",
                    help="euler = reference-exact; leapfrog = 2nd-order symplectic")
+    p.add_argument("--pm-grid", type=int, default=512,
+                   help="particle-mesh resolution (backend=pm)")
+    p.add_argument("--pm-softening", type=float, default=2.0,
+                   help="global Plummer softening length (backend=pm)")
 
 
 def _make_world(args):
@@ -44,7 +48,8 @@ def _make_world(args):
         particles, _ = load_particles(args.state)
     else:
         particles = make_galaxies(args.n, args.galaxies, seed=args.seed)
-    config = SimConfig(precise=args.precise, integrator=args.integrator)
+    config = SimConfig(precise=args.precise, integrator=args.integrator,
+                       pm_grid=args.pm_grid, pm_softening=args.pm_softening)
     return create_world(particles, config=config, default_backend=args.backend)
 
 
