@@ -131,19 +131,18 @@ def pm_acc(
     # minus the convolution.
     ax_grid = -jnp.fft.irfft2(f_rho * jnp.fft.rfft2(kx), s=(n2, n2))
     ay_grid = -jnp.fft.irfft2(f_rho * jnp.fft.rfft2(ky), s=(n2, n2))
-    ax_grid = ax_grid[:grid, :grid]
-    ay_grid = ay_grid[:grid, :grid]
+    # stacked (G, G, 2) force grid: ONE 4-tap CIC gather serves both axes
+    a_grid = jnp.stack([ax_grid[:grid, :grid], ay_grid[:grid, :grid]],
+                       axis=-1)
 
     # --- CIC gather at target positions -----------------------------------
     i0, j0, wx, wy = _cic_weights(tgt_pos, lo, inv_h, grid)
-    ax = jnp.zeros(tgt_pos.shape[0], DTYPE)
-    ay = jnp.zeros_like(ax)
+    acc = jnp.zeros((tgt_pos.shape[0], 2), DTYPE)
     for di, dj, w in (
         (0, 0, (1 - wx) * (1 - wy)),
         (1, 0, wx * (1 - wy)),
         (0, 1, (1 - wx) * wy),
         (1, 1, wx * wy),
     ):
-        ax = ax + w * ax_grid[i0 + di, j0 + dj]
-        ay = ay + w * ay_grid[i0 + di, j0 + dj]
-    return jnp.stack([ax, ay], axis=-1).astype(DTYPE)
+        acc = acc + w[:, None] * a_grid[i0 + di, j0 + dj]
+    return acc.astype(DTYPE)
