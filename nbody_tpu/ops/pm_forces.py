@@ -54,6 +54,100 @@ def _cic_weights(pos, lo, inv_h, grid):
     return i0, j0, wx, wy
 
 
+def _bounds(tgt_pos, src_pos, src_gm, tgt_mask):
+    """Masked bounding box over real sources and targets (padding rows are
+    origin-pinned and must not inflate the grid)."""
+    src_real = src_gm != 0.0
+    s_min = jnp.min(jnp.where(src_real[:, None], src_pos, jnp.inf), axis=0)
+    s_max = jnp.max(jnp.where(src_real[:, None], src_pos, -jnp.inf), axis=0)
+    if tgt_mask is not None:
+        t_real = jnp.reshape(tgt_mask, (-1,)) != 0.0
+        t_min = jnp.min(jnp.where(t_real[:, None], tgt_pos, jnp.inf), axis=0)
+        t_max = jnp.max(jnp.where(t_real[:, None], tgt_pos, -jnp.inf), axis=0)
+    else:
+        t_min = tgt_pos.min(axis=0)
+        t_max = tgt_pos.max(axis=0)
+    return jnp.minimum(t_min, s_min), jnp.maximum(t_max, s_max)
+
+
+def _box(all_min, all_max, grid):
+    all_min = jnp.where(jnp.isfinite(all_min), all_min, 0.0)
+    all_max = jnp.where(jnp.isfinite(all_max), all_max, 1.0)
+    center = 0.5 * (all_min + all_max)
+    half = 0.5 * jnp.max(all_max - all_min) * (1.0 + 4.0 / grid) + 1e-3
+    lo = center - half
+    h = 2.0 * half / grid
+    return lo, h
+
+
+def _cic_scatter(src_pos, src_gm, lo, inv_h, grid):
+    i0, j0, wx, wy = _cic_weights(src_pos, lo, inv_h, grid)
+    rho = jnp.zeros((grid, grid), DTYPE)
+    for di, dj, w in (
+        (0, 0, (1 - wx) * (1 - wy)),
+        (1, 0, wx * (1 - wy)),
+        (0, 1, (1 - wx) * wy),
+        (1, 1, wx * wy),
+    ):
+        rho = rho.at[i0 + di, j0 + dj].add(src_gm * w)
+    return rho
+
+
+def _solve(rho, h, eps2, grid):
+    """Free-space convolution of the mass grid with the softened 1/r^2
+    kernel; returns the stacked (G, G, 2) force grid."""
+    n2 = 2 * grid
+    idx = jnp.arange(n2)
+    d = jnp.where(idx < grid, idx, idx - n2).astype(DTYPE)  # wraparound order
+    dx = d[:, None] * h
+    dy = d[None, :] * h
+    r2 = dx * dx + dy * dy + eps2
+    inv_r3 = jax.lax.rsqrt(r2) / r2
+    # guard the zero-displacement sample: with eps=0 it is 0*inf -> NaN
+    inv_r3 = jnp.where(r2 > 0.0, inv_r3, 0.0)
+    kx = dx * inv_r3
+    ky = dy * inv_r3
+    rho_pad = jnp.zeros((n2, n2), DTYPE).at[:grid, :grid].set(rho)
+    f_rho = jnp.fft.rfft2(rho_pad)
+    # A(c) = sum_{c'} rho(c') K(c' - c): correlation; K odd => minus conv.
+    ax_grid = -jnp.fft.irfft2(f_rho * jnp.fft.rfft2(kx), s=(n2, n2))
+    ay_grid = -jnp.fft.irfft2(f_rho * jnp.fft.rfft2(ky), s=(n2, n2))
+    return jnp.stack([ax_grid[:grid, :grid], ay_grid[:grid, :grid]], axis=-1)
+
+
+def _cic_gather(a_grid, tgt_pos, lo, inv_h, grid):
+    i0, j0, wx, wy = _cic_weights(tgt_pos, lo, inv_h, grid)
+    acc = jnp.zeros((tgt_pos.shape[0], 2), DTYPE)
+    for di, dj, w in (
+        (0, 0, (1 - wx) * (1 - wy)),
+        (1, 0, wx * (1 - wy)),
+        (0, 1, (1 - wx) * wy),
+        (1, 1, wx * wy),
+    ):
+        acc = acc + w[:, None] * a_grid[i0 + di, j0 + dj]
+    return acc.astype(DTYPE)
+
+
+def pm_acc_collective(
+    tgt_pos, src_pos, src_gm, softening=2.0, *, grid: int = 512,
+    tgt_mask=None, axis_name: str,
+):
+    """Sharded particle-mesh (call inside shard_map): every device scatters
+    its local source shard into a grid, ONE psum over the mesh combines the
+    mass grids (O(G^2) over ICI — independent of N), the convolution solve
+    runs replicated, and each device gathers only its local targets. The
+    box is agreed globally via pmin/pmax, so all shards use one mesh."""
+    eps2 = jnp.asarray(softening, DTYPE) ** 2
+    all_min, all_max = _bounds(tgt_pos, src_pos, src_gm, tgt_mask)
+    all_min = jax.lax.pmin(all_min, axis_name)
+    all_max = jax.lax.pmax(all_max, axis_name)
+    lo, h = _box(all_min, all_max, grid)
+    rho = _cic_scatter(src_pos, src_gm, lo, 1.0 / h, grid)
+    rho = jax.lax.psum(rho, axis_name)
+    a_grid = _solve(rho, h, eps2, grid)
+    return _cic_gather(a_grid, tgt_pos, lo, 1.0 / h, grid)
+
+
 @functools.partial(jax.jit, static_argnames=("grid",))
 def pm_acc(
     tgt_pos: jax.Array,   # (T, 2)
@@ -75,74 +169,8 @@ def pm_acc(
     world padded with origin-pinned rows does not inflate the grid box.
     """
     eps2 = jnp.asarray(softening, DTYPE) ** 2
-
-    # adaptive square box over real sources AND targets, with margin;
-    # padding rows (origin-pinned) must not inflate it
-    src_real = src_gm != 0.0
-    s_min = jnp.min(jnp.where(src_real[:, None], src_pos, jnp.inf), axis=0)
-    s_max = jnp.max(jnp.where(src_real[:, None], src_pos, -jnp.inf), axis=0)
-    if tgt_mask is not None:
-        t_real = jnp.reshape(tgt_mask, (-1,)) != 0.0
-        t_min = jnp.min(jnp.where(t_real[:, None], tgt_pos, jnp.inf), axis=0)
-        t_max = jnp.max(jnp.where(t_real[:, None], tgt_pos, -jnp.inf), axis=0)
-    else:
-        t_min = tgt_pos.min(axis=0)
-        t_max = tgt_pos.max(axis=0)
-    all_min = jnp.minimum(t_min, s_min)
-    all_max = jnp.maximum(t_max, s_max)
-    # all-masked degenerate case (e.g. no massive sources): keep finite
-    all_min = jnp.where(jnp.isfinite(all_min), all_min, 0.0)
-    all_max = jnp.where(jnp.isfinite(all_max), all_max, 1.0)
-    center = 0.5 * (all_min + all_max)
-    half = 0.5 * jnp.max(all_max - all_min) * (1.0 + 4.0 / grid) + 1e-3
-    lo = center - half
-    h = 2.0 * half / grid
-    inv_h = 1.0 / h
-
-    # --- CIC scatter: mass grid ------------------------------------------
-    i0, j0, wx, wy = _cic_weights(src_pos, lo, inv_h, grid)
-    rho = jnp.zeros((grid, grid), DTYPE)
-    for di, dj, w in (
-        (0, 0, (1 - wx) * (1 - wy)),
-        (1, 0, wx * (1 - wy)),
-        (0, 1, (1 - wx) * wy),
-        (1, 1, wx * wy),
-    ):
-        rho = rho.at[i0 + di, j0 + dj].add(src_gm * w)
-
-    # --- free-space convolution with the softened 1/r^2 kernel ------------
-    # displacement grid in wraparound order: d in [-G, G) cells
-    n2 = 2 * grid
-    idx = jnp.arange(n2)
-    d = jnp.where(idx < grid, idx, idx - n2).astype(DTYPE)  # 0..G-1, -G..-1
-    dx = d[:, None] * h
-    dy = d[None, :] * h
-    r2 = dx * dx + dy * dy + eps2
-    inv_r3 = jax.lax.rsqrt(r2) / r2
-    # guard the zero-displacement sample: with eps=0 it is 0*inf -> NaN,
-    # which the FFT would smear over every particle
-    inv_r3 = jnp.where(r2 > 0.0, inv_r3, 0.0)
-    kx = dx * inv_r3  # K(v) = v / (|v|^2 + eps^2)^{3/2}
-    ky = dy * inv_r3
-
-    rho_pad = jnp.zeros((n2, n2), DTYPE).at[:grid, :grid].set(rho)
-    f_rho = jnp.fft.rfft2(rho_pad)
-    # A(c) = sum_{c'} rho(c') K(c' - c): correlation; K is odd, so this is
-    # minus the convolution.
-    ax_grid = -jnp.fft.irfft2(f_rho * jnp.fft.rfft2(kx), s=(n2, n2))
-    ay_grid = -jnp.fft.irfft2(f_rho * jnp.fft.rfft2(ky), s=(n2, n2))
-    # stacked (G, G, 2) force grid: ONE 4-tap CIC gather serves both axes
-    a_grid = jnp.stack([ax_grid[:grid, :grid], ay_grid[:grid, :grid]],
-                       axis=-1)
-
-    # --- CIC gather at target positions -----------------------------------
-    i0, j0, wx, wy = _cic_weights(tgt_pos, lo, inv_h, grid)
-    acc = jnp.zeros((tgt_pos.shape[0], 2), DTYPE)
-    for di, dj, w in (
-        (0, 0, (1 - wx) * (1 - wy)),
-        (1, 0, wx * (1 - wy)),
-        (0, 1, (1 - wx) * wy),
-        (1, 1, wx * wy),
-    ):
-        acc = acc + w[:, None] * a_grid[i0 + di, j0 + dj]
-    return acc.astype(DTYPE)
+    all_min, all_max = _bounds(tgt_pos, src_pos, src_gm, tgt_mask)
+    lo, h = _box(all_min, all_max, grid)
+    rho = _cic_scatter(src_pos, src_gm, lo, 1.0 / h, grid)
+    a_grid = _solve(rho, h, eps2, grid)
+    return _cic_gather(a_grid, tgt_pos, lo, 1.0 / h, grid)

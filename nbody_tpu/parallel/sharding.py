@@ -97,6 +97,28 @@ def _fused_ring_step_shard(
     )
 
 
+def _pm_force_shard(pos, radius, gm_src, src_pos0, valid, *, config: SimConfig):
+    """Masked acceleration via the collective particle-mesh solve (one psum
+    of the (G, G) mass grid over the mesh per evaluation; see
+    ops/pm_forces.pm_acc_collective). ``radius`` is unused — PM softening is
+    the global ``config.pm_softening``."""
+    from ..ops.pm_forces import pm_acc_collective
+
+    del radius
+    acc = pm_acc_collective(
+        pos, src_pos0, gm_src, softening=config.pm_softening,
+        grid=config.pm_grid, tgt_mask=valid, axis_name=AXIS)
+    return acc * valid
+
+
+def _pm_step_shard(pos, vel, radius, gm_src, src_pos0, valid, dt, *,
+                   config: SimConfig):
+    acc = _pm_force_shard(pos, radius, gm_src, src_pos0, valid, config=config)
+    vel = vel + dt * acc
+    pos = pos + dt * vel
+    return pos, vel, acc
+
+
 def _ring_force_shard(
     pos, radius, gm_src, src_pos0, valid,
     *, n_devices: int, config: SimConfig, force_backend: str
@@ -177,7 +199,7 @@ class ShardedWorld:
         mesh: Mesh | None = None,
         *,
         config: SimConfig = DEFAULT_SIM_CONFIG,
-        force_backend: Literal["jnp", "pallas", "pallas_ring"] | None = None,
+        force_backend: Literal["jnp", "pallas", "pallas_ring", "pm"] | None = None,
     ):
         self.mesh = mesh if mesh is not None else make_mesh()
         d = self.mesh.devices.size
@@ -296,6 +318,8 @@ class ShardedWorld:
                 _fused_ring_step_shard, n_devices=d, config=config,
                 pos_dt=0.5 if config.integrator == "leapfrog" else 1.0,
             )
+        elif force_backend == "pm":
+            step = functools.partial(_pm_step_shard, config=config)
         else:
             step = functools.partial(
                 _ring_step_shard,
@@ -313,10 +337,13 @@ class ShardedWorld:
             check_vma=False,
         )
 
-        force = functools.partial(
-            _ring_force_shard,
-            n_devices=d, config=config, force_backend=force_backend,
-        )
+        if force_backend == "pm":
+            force = functools.partial(_pm_force_shard, config=config)
+        else:
+            force = functools.partial(
+                _ring_force_shard,
+                n_devices=d, config=config, force_backend=force_backend,
+            )
         smapped_force = jax.shard_map(
             lambda pos, radius, gm_src, src_pos0, valid: force(
                 pos, radius, gm_src, src_pos0, valid

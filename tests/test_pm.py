@@ -140,3 +140,35 @@ def test_pm_softening_validation_and_zero_guard():
     gm = jnp.array([1e4, 1e4], jnp.float32)
     acc = np.asarray(pm_acc(pos, pos, gm, softening=0.0, grid=64))
     assert np.all(np.isfinite(acc))
+
+
+def test_sharded_pm_matches_single_device():
+    """Collective PM (per-shard CIC scatter + one psum of the mass grid +
+    replicated solve + local gather) must reproduce the single-device PM."""
+    from nbody_tpu.parallel.sharding import ShardedWorld, make_mesh
+
+    scene = nb.make_galaxies(1024, 2, seed=11037)
+    cfg = SimConfig(tile_targets=64, pm_grid=256)
+    for d in (2, 8):
+        sw = ShardedWorld(scene, make_mesh(d), config=cfg, force_backend="pm")
+        w = nb.create_world(scene, config=cfg, default_backend="pm")
+        sw.update(0.01, 3)
+        w.update(0.01, 3)
+        a = np.asarray(sw.particles.pos)
+        b = np.asarray(w.particles.pos)
+        scale = np.abs(b).max()
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-6)
+
+
+def test_sharded_pm_leapfrog():
+    from nbody_tpu.parallel.sharding import ShardedWorld, make_mesh
+
+    scene = nb.make_galaxies(512, 1, seed=3)
+    cfg = SimConfig(tile_targets=64, pm_grid=256, integrator="leapfrog")
+    sw = ShardedWorld(scene, make_mesh(4), config=cfg, force_backend="pm")
+    w = nb.create_world(scene, config=cfg, default_backend="pm")
+    sw.update(0.01, 4)
+    w.update(0.01, 4)
+    np.testing.assert_allclose(
+        np.asarray(sw.particles.pos), np.asarray(w.particles.pos),
+        rtol=3e-4, atol=3e-3)
