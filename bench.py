@@ -75,16 +75,18 @@ def run_ladder(args):
             w = make_world(n)
             # amortize the per-call host->device round trip (tens of ms on
             # remote-attached devices): keep device time per timed call well
-            # above the RTT at every size; 10 iters suffice at huge N
-            if n <= 4000:
-                iters = 2000
+            # above the RTT at every size, and take the best of several
+            # calls at small N where a single RTT hiccup dominates
+            if n <= 2000:
+                iters, reps = 3000, 4
             elif n <= 50000:
-                iters = 500
+                iters, reps = 500, 2
             elif n <= 200000:
-                iters = BENCH_ITER
+                iters, reps = BENCH_ITER, 2
             else:
-                iters = 10
-            us = bench_world(w, b, iters)
+                iters, reps = 10, 1
+            us = min(bench_world(w, b, iters, warmup=WARMUP_ITER if r == 0 else 0)
+                     for r in range(reps))
             row.append(f"{us:>12.1f}")
             pairs_rate[b] = w.total_len * w.mass_len / (us / 1e6)
             del w

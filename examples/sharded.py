@@ -49,15 +49,22 @@ print("momentum:", summary(sw)["momentum"] if hasattr(sw, "state") else
 # --- round-2 additions: on-device capture + shard-native checkpointing ----
 import tempfile
 
-from nbody_tpu.utils.checkpoint import load_sharded_world_orbax, save_world_orbax
-
 traj = sw.record(0.01, frames=5, steps_per_frame=4)  # ONE jitted scan,
 print(f"captured {traj.shape} frames (single device->host gather)")
 
-with tempfile.TemporaryDirectory() as d:
-    path = os.path.join(d, "ckpt")
-    save_world_orbax(path, sw, step=120)  # each device writes its shard
-    sw2, step = load_sharded_world_orbax(path, mesh,
-                                         force_backend=sw.force_backend)
-    print(f"restored at step {step}: each device read only its own shard; "
-          f"sharding preserved = {sw2.pos.sharding == sw.pos.sharding}")
+try:
+    import orbax.checkpoint  # noqa: F401  (optional dependency)
+except ImportError:
+    print("orbax not installed - skipping the shard-native checkpoint demo")
+else:
+    from nbody_tpu.utils.checkpoint import (load_sharded_world_orbax,
+                                            save_world_orbax)
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ckpt")
+        save_world_orbax(path, sw, step=120)  # each device writes its shard
+        sw2, step = load_sharded_world_orbax(path, mesh,
+                                             force_backend=sw.force_backend)
+        print(f"restored at step {step}: each device read only its own "
+              f"shard; sharding preserved = "
+              f"{sw2.pos.sharding == sw.pos.sharding}")

@@ -97,23 +97,27 @@ def _fused_ring_step_shard(
     )
 
 
-def _pm_force_shard(pos, radius, gm_src, src_pos0, valid, *, config: SimConfig):
+def _pm_force_shard(pos, radius, gm_row, valid, *, config: SimConfig):
     """Masked acceleration via the collective particle-mesh solve (one psum
     of the (G, G) mass grid over the mesh per evaluation; see
-    ops/pm_forces.pm_acc_collective). ``radius`` is unused — PM softening is
-    the global ``config.pm_softening``."""
+    ops/pm_forces.pm_acc_collective). CIC scatter is order-independent, so
+    each device scatters its OWN resident target rows weighted by the
+    per-row ``gm_row`` (zero for massless/padding) — no per-substep source
+    reshard at all; the only communication is the fixed O(G^2) psum.
+    ``radius`` is unused — PM softening is the global
+    ``config.pm_softening``."""
     from ..ops.pm_forces import pm_acc_collective
 
     del radius
     acc = pm_acc_collective(
-        pos, src_pos0, gm_src, softening=config.pm_softening,
+        pos, pos, gm_row, softening=config.pm_softening,
         grid=config.pm_grid, tgt_mask=valid, axis_name=AXIS)
     return acc * valid
 
 
-def _pm_step_shard(pos, vel, radius, gm_src, src_pos0, valid, dt, *,
+def _pm_step_shard(pos, vel, radius, gm_row, valid, dt, *,
                    config: SimConfig):
-    acc = _pm_force_shard(pos, radius, gm_src, src_pos0, valid, config=config)
+    acc = _pm_force_shard(pos, radius, gm_row, valid, config=config)
     vel = vel + dt * acc
     pos = pos + dt * vel
     return pos, vel, acc
@@ -243,8 +247,13 @@ class ShardedWorld:
         self.acc = jax.device_put(state.acc, sh2)
         self.mass = jax.device_put(state.mass, sh)
         self.radius = jax.device_put(state.radius, sh)
-        # gm for the source prefix, resharded so each device owns s_loc of it
-        self.gm_src = jax.device_put(gm_full[:src_len], sh)
+        # gm rows: ring backends take the massive-prefix slice resharded so
+        # each device owns s_loc of it; pm takes the FULL per-target gm row
+        # (sharded like pos) so it never reshards sources
+        if force_backend == "pm":
+            self.gm_src = jax.device_put(gm_full, sh)
+        else:
+            self.gm_src = jax.device_put(gm_full[:src_len], sh)
         self.valid = jax.device_put(valid, sh2)
         self._update_fn = self._build_update()
         self._host_cache: Particles | None = None
@@ -299,7 +308,8 @@ class ShardedWorld:
             idx = jnp.arange(n_pad)
             gm = jnp.where(idx < mass_len, config.g * mass, 0.0).astype(mass.dtype)
             valid = (idx < total_len).astype(mass.dtype)[:, None]
-            return gm[:src_len], valid
+            gm_row = gm if force_backend == "pm" else gm[:src_len]
+            return gm_row, valid
 
         self.gm_src, self.valid = synth(self.mass)
         self._update_fn = self._build_update()
@@ -313,47 +323,65 @@ class ShardedWorld:
         force_backend = self.force_backend
         src_len = self.src_len
 
-        if force_backend == "pallas_ring":
-            step = functools.partial(
-                _fused_ring_step_shard, n_devices=d, config=config,
-                pos_dt=0.5 if config.integrator == "leapfrog" else 1.0,
-            )
-        elif force_backend == "pm":
-            step = functools.partial(_pm_step_shard, config=config)
-        else:
-            step = functools.partial(
-                _ring_step_shard,
-                n_devices=d, config=config, force_backend=force_backend,
-            )
-
-        smapped = jax.shard_map(
-            lambda pos, vel, radius, gm_src, src_pos0, valid, dt: step(
-                pos, vel, radius, gm_src, src_pos0, valid, dt),
-            mesh=mesh,
-            in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS), P(AXIS),
-                      P(AXIS, None), P(AXIS, None), P()),
-            out_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None)),
-            # pallas_call outputs don't carry varying-mesh-axis metadata
-            check_vma=False,
-        )
-
         if force_backend == "pm":
+            # pm: no per-substep source reshard (gm_src holds the per-TARGET
+            # gm row, sharded like pos); comm is the fixed O(G^2) psum inside
+            step = functools.partial(_pm_step_shard, config=config)
+            smapped = jax.shard_map(
+                lambda pos, vel, radius, gm_row, valid, dt: step(
+                    pos, vel, radius, gm_row, valid, dt),
+                mesh=mesh,
+                in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS), P(AXIS),
+                          P(AXIS, None), P()),
+                out_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None)),
+                check_vma=False,
+            )
             force = functools.partial(_pm_force_shard, config=config)
+            smapped_force = jax.shard_map(
+                lambda pos, radius, gm_row, valid: force(
+                    pos, radius, gm_row, valid),
+                mesh=mesh,
+                in_specs=(P(AXIS, None), P(AXIS), P(AXIS), P(AXIS, None)),
+                out_specs=P(AXIS, None),
+                check_vma=False,
+            )
         else:
+            if force_backend == "pallas_ring":
+                step = functools.partial(
+                    _fused_ring_step_shard, n_devices=d, config=config,
+                    pos_dt=0.5 if config.integrator == "leapfrog" else 1.0,
+                )
+            else:
+                step = functools.partial(
+                    _ring_step_shard,
+                    n_devices=d, config=config, force_backend=force_backend,
+                )
+
+            smapped = jax.shard_map(
+                lambda pos, vel, radius, gm_src, src_pos0, valid, dt: step(
+                    pos, vel, radius, gm_src, src_pos0, valid, dt),
+                mesh=mesh,
+                in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS), P(AXIS),
+                          P(AXIS, None), P(AXIS, None), P()),
+                out_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None)),
+                # pallas_call outputs don't carry varying-mesh-axis metadata
+                check_vma=False,
+            )
+
             force = functools.partial(
                 _ring_force_shard,
                 n_devices=d, config=config, force_backend=force_backend,
             )
-        smapped_force = jax.shard_map(
-            lambda pos, radius, gm_src, src_pos0, valid: force(
-                pos, radius, gm_src, src_pos0, valid
-            ),
-            mesh=mesh,
-            in_specs=(P(AXIS, None), P(AXIS), P(AXIS),
-                      P(AXIS, None), P(AXIS, None)),
-            out_specs=P(AXIS, None),
-            check_vma=False,
-        )
+            smapped_force = jax.shard_map(
+                lambda pos, radius, gm_src, src_pos0, valid: force(
+                    pos, radius, gm_src, src_pos0, valid
+                ),
+                mesh=mesh,
+                in_specs=(P(AXIS, None), P(AXIS), P(AXIS),
+                          P(AXIS, None), P(AXIS, None)),
+                out_specs=P(AXIS, None),
+                check_vma=False,
+            )
 
         def gather_src(p):
             # source shard = slice of the global massive prefix, gathered
@@ -370,11 +398,16 @@ class ShardedWorld:
                     # kick + half-drift fused in-kernel (pos_dt=0.5)
                     return smapped(pos_h, vel, radius, gm_src,
                                    gather_src(pos_h), valid, dt)
-                acc = smapped_force(pos_h, radius, gm_src,
-                                    gather_src(pos_h), valid)
+                if force_backend == "pm":
+                    acc = smapped_force(pos_h, radius, gm_src, valid)
+                else:
+                    acc = smapped_force(pos_h, radius, gm_src,
+                                        gather_src(pos_h), valid)
                 vel = vel + dt * acc
                 pos = pos_h + (0.5 * dt) * vel
                 return pos, vel, acc
+            if force_backend == "pm":
+                return smapped(pos, vel, radius, gm_src, valid, dt)
             return smapped(pos, vel, radius, gm_src, gather_src(pos),
                            valid, dt)
 
