@@ -149,3 +149,48 @@ def test_pallas_rejects_unaligned_tile_sources():
     gm = jnp.ones((256,), jnp.float32)
     with pytest.raises(ValueError, match="tile_sources"):
         pallas_acc(pos, rad, src, gm, tile_sources=192)
+
+
+def test_fused_kernel_tile_halving_and_short_sources():
+    """Edge shapes: T not divisible by the default tile (halving kicks in),
+    and short source rows (S <= 4096 caps the tile at 512) — both must agree
+    with the jnp oracle."""
+    import numpy as np
+    from nbody_tpu import forces
+    from nbody_tpu.ops.pallas_forces import pallas_acc
+
+    rng = np.random.RandomState(3)
+    for t, s in ((1536, 256), (264, 128), (4096, 2048)):
+        pos = jnp.asarray(rng.randn(t, 2) * 100, jnp.float32)
+        rad = jnp.asarray(np.abs(rng.randn(t)) + 0.5, jnp.float32)
+        gm = jnp.asarray(np.abs(rng.randn(s)) * 10, jnp.float32)
+        src = pos[:s]
+        want = np.asarray(forces.direct_sum_acc(pos, rad, src, gm, precise=False))
+        got = np.asarray(pallas_acc(pos, rad, src, gm))
+        scale = np.abs(want).max()
+        np.testing.assert_allclose(got / scale, want / scale, atol=2e-6)
+
+
+def test_fused_kernel_streaming_boundary():
+    """Streaming kicks in just above RESIDENT_SOURCE_MAX; resident just
+    below. Both must agree with the oracle at the boundary."""
+    import numpy as np
+    from nbody_tpu.ops import pallas_forces as pf
+    from nbody_tpu import forces
+
+    old = pf.RESIDENT_SOURCE_MAX
+    pf.RESIDENT_SOURCE_MAX = 512
+    try:
+        rng = np.random.RandomState(4)
+        t = 1024
+        pos = jnp.asarray(rng.randn(t, 2) * 50, jnp.float32)
+        rad = jnp.asarray(np.abs(rng.randn(t)) + 0.5, jnp.float32)
+        for s in (512, 1024):  # resident at the boundary; streaming above
+            gm = jnp.asarray(np.abs(rng.randn(s)) * 10, jnp.float32)
+            src = pos[:s]
+            want = np.asarray(forces.direct_sum_acc(pos, rad, src, gm, precise=False))
+            got = np.asarray(pf.pallas_acc(pos, rad, src, gm, tile_sources=256))
+            scale = np.abs(want).max()
+            np.testing.assert_allclose(got / scale, want / scale, atol=2e-6)
+    finally:
+        pf.RESIDENT_SOURCE_MAX = old
