@@ -154,7 +154,7 @@ def main():
     # time at the default N)
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--backend", default=None,
-                    choices=["pallas", "jnp", "pallas_fused", "pm"],
+                    choices=["pallas", "jnp", "pallas_fused", "pm", "p3m"],
                     help="force a backend (default: the framework's own "
                          "size-based choice)")
     ap.add_argument("--sharded", action="store_true",

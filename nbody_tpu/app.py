@@ -31,16 +31,23 @@ def _add_scene_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--galaxies", type=int, default=3, help="galaxy count (main.c:44)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--state", help="resume from a .npz checkpoint instead of generating")
-    p.add_argument("--backend", choices=["jnp", "pallas", "pallas_fused", "pm"], default=None)
+    p.add_argument("--backend", choices=["jnp", "pallas", "pallas_fused", "pm", "p3m"], default=None)
     p.add_argument("--dt", type=float, default=PHYS_STEP)
     p.add_argument("--precise", action="store_true",
                    help="exact sqrt+divide force math (reference shader semantics)")
     p.add_argument("--integrator", choices=["euler", "leapfrog"], default="euler",
                    help="euler = reference-exact; leapfrog = 2nd-order symplectic")
     p.add_argument("--pm-grid", type=int, default=512,
-                   help="particle-mesh resolution (backend=pm)")
+                   help="particle-mesh resolution (backend=pm/p3m)")
     p.add_argument("--pm-softening", type=float, default=2.0,
-                   help="global Plummer softening length (backend=pm)")
+                   help="global Plummer softening length (backend=pm/p3m)")
+    p.add_argument("--p3m-rc-cells", type=int, default=4,
+                   help="p3m short-range cutoff in grid cells (wider = "
+                        "smaller handoff error, more pair work)")
+    p.add_argument("--p3m-cell-capacity", type=int, default=96,
+                   help="p3m sources kept per cell (heaviest-first)")
+    p.add_argument("--p3m-exact-targets", type=int, default=64,
+                   help="p3m largest-radius targets computed by direct sum")
 
 
 def _make_world(args):
@@ -49,7 +56,10 @@ def _make_world(args):
     else:
         particles = make_galaxies(args.n, args.galaxies, seed=args.seed)
     config = SimConfig(precise=args.precise, integrator=args.integrator,
-                       pm_grid=args.pm_grid, pm_softening=args.pm_softening)
+                       pm_grid=args.pm_grid, pm_softening=args.pm_softening,
+                       p3m_rc_cells=args.p3m_rc_cells,
+                       p3m_cell_capacity=args.p3m_cell_capacity,
+                       p3m_exact_targets=args.p3m_exact_targets)
     return create_world(particles, config=config, default_backend=args.backend)
 
 

@@ -87,6 +87,19 @@ def rollout(
             return pm_acc(p, p[:mass_len], gm,
                           softening=pm_softening, grid=pm_grid)
 
+    elif backend == "p3m":
+        # accurate-at-all-ranges O(N) solver; scatter/gather/FFT/sort are
+        # all natively differentiable (sort/top_k indices are integer
+        # outputs — gradients flow through the gathers they index)
+        from .ops.p3m_forces import p3m_acc
+
+        gm = gm_full[:mass_len]
+
+        def force(p):
+            return p3m_acc(p, radius, p[:mass_len], gm,
+                           softening=pm_softening, grid=pm_grid,
+                           precise=precise)
+
     else:
         gm = gm_full[:mass_len]
 

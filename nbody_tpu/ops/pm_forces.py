@@ -93,18 +93,29 @@ def _cic_scatter(src_pos, src_gm, lo, inv_h, grid):
     return rho
 
 
-def _solve(rho, h, eps2, grid):
+def _solve(rho, h, eps2, grid, rc=None):
     """Free-space convolution of the mass grid with the softened 1/r^2
-    kernel; returns the stacked (G, G, 2) force grid."""
+    kernel; returns the stacked (G, G, 2) force grid.
+
+    ``rc`` (optional, traced): multiply the kernel by a smootherstep taper
+    g(r/rc) — zero at the origin, identity beyond rc. Used by the P³M
+    backend (ops/p3m_forces.py), whose PP stage supplies the exact force for
+    pairs inside rc; the taper keeps the grid from carrying sub-cell
+    structure it cannot represent."""
     n2 = 2 * grid
     idx = jnp.arange(n2)
     d = jnp.where(idx < grid, idx, idx - n2).astype(DTYPE)  # wraparound order
     dx = d[:, None] * h
     dy = d[None, :] * h
-    r2 = dx * dx + dy * dy + eps2
+    dist2 = dx * dx + dy * dy
+    r2 = dist2 + eps2
     inv_r3 = jax.lax.rsqrt(r2) / r2
     # guard the zero-displacement sample: with eps=0 it is 0*inf -> NaN
     inv_r3 = jnp.where(r2 > 0.0, inv_r3, 0.0)
+    if rc is not None:
+        from .p3m_forces import _taper
+
+        inv_r3 = inv_r3 * _taper(dist2, rc)
     kx = dx * inv_r3
     ky = dy * inv_r3
     rho_pad = jnp.zeros((n2, n2), DTYPE).at[:grid, :grid].set(rho)

@@ -182,6 +182,19 @@ def _ring_step_shard(
     return pos, vel, acc
 
 
+def _default_force_backend(force_backend):
+    if force_backend is None:
+        return "pallas" if jax.default_backend() == "tpu" else "jnp"
+    if force_backend == "p3m":
+        raise ValueError(
+            "p3m is single-device only for now: its short-range pair "
+            "correction needs spatial neighbor exchange across shards "
+            "(particles are index-sharded, not space-sharded). Use "
+            "force_backend='pm' for the sharded far-field solver, or a "
+            "single-chip World for p3m.")
+    return force_backend
+
+
 class ShardedWorld:
     """Multi-device World: particles sharded over a 1-D mesh.
 
@@ -209,9 +222,8 @@ class ShardedWorld:
         d = self.mesh.devices.size
         self.n_devices = d
         self.config = config
-        if force_backend is None:
-            force_backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
-        self.force_backend = force_backend
+        self.force_backend = _default_force_backend(force_backend)
+        force_backend = self.force_backend
 
         from ..types import DTYPE
         from ..world import _create_padded_state
@@ -278,9 +290,8 @@ class ShardedWorld:
         d = mesh.devices.size
         self.n_devices = d
         self.config = config
-        if force_backend is None:
-            force_backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
-        self.force_backend = force_backend
+        self.force_backend = _default_force_backend(force_backend)
+        force_backend = self.force_backend
 
         s_loc, t_loc, src_len, n_pad = shard_layout(total_len, mass_len, config, d)
         if pos.shape != (n_pad, 2):

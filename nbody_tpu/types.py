@@ -150,6 +150,14 @@ class SimConfig:
     # Approximate solver for very large N — see ops/pm_forces.py.
     pm_grid: int = 512
     pm_softening: float = 2.0
+    # P³M backend ("p3m"): PM far field (tapered at rc = p3m_rc_cells grid
+    # cells) + exact short-range pair correction from cells holding up to
+    # p3m_cell_capacity heaviest sources + direct-sum override for the
+    # p3m_exact_targets largest-radius targets (galaxy cores). Accurate at
+    # all ranges, still O(N) — see ops/p3m_forces.py.
+    p3m_rc_cells: int = 4
+    p3m_cell_capacity: int = 96
+    p3m_exact_targets: int = 64
 
     def __post_init__(self):
         if self.integrator not in ("euler", "leapfrog"):
@@ -161,6 +169,15 @@ class SimConfig:
         if self.pm_softening <= 0:
             raise ValueError(
                 f"pm_softening must be > 0, got {self.pm_softening}")
+        if self.p3m_rc_cells < 2:
+            raise ValueError(
+                f"p3m_rc_cells must be >= 2, got {self.p3m_rc_cells}")
+        if self.p3m_cell_capacity < 8:
+            raise ValueError(
+                f"p3m_cell_capacity must be >= 8, got {self.p3m_cell_capacity}")
+        if self.p3m_exact_targets < 0:
+            raise ValueError(
+                f"p3m_exact_targets must be >= 0, got {self.p3m_exact_targets}")
         if (self.tile_targets % 8 or self.tile_sources % 128
                 or self.kernel_tile_targets % 8):
             raise ValueError(

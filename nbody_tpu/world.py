@@ -47,7 +47,7 @@ from .types import (
     round_up,
 )
 
-Backend = Literal["jnp", "pallas", "pallas_fused", "pm"]
+Backend = Literal["jnp", "pallas", "pallas_fused", "pm", "p3m"]
 
 
 # Measured on TPU v5e (docs/BENCHMARKS.md, docs/DESIGN.md §3): the round-2
@@ -216,6 +216,18 @@ def _force(
         return pm_acc(state.pos, src_pos, src_gm,
                       softening=config.pm_softening, grid=config.pm_grid,
                       tgt_mask=valid)
+    if backend == "p3m":
+        # P³M: PM far field + exact short-range pair correction + exact
+        # rows for the largest-softening targets — accurate at all ranges,
+        # still O(N) (ops/p3m_forces.py)
+        from .ops.p3m_forces import p3m_acc
+
+        return p3m_acc(state.pos, state.radius, src_pos, src_gm,
+                       softening=config.pm_softening, grid=config.pm_grid,
+                       rc_cells=config.p3m_rc_cells,
+                       cell_capacity=config.p3m_cell_capacity,
+                       exact_targets=config.p3m_exact_targets,
+                       precise=config.precise, tgt_mask=valid)
     raise ValueError(f"unknown backend {backend!r}")
 
 
@@ -224,7 +236,7 @@ def effective_src_len(backend: Backend, src_len: int, mass_len: int) -> int:
     exactly ``mass_len`` (no alignment requirement); the round-2 Pallas
     kernel needs only the 128-lane alignment (``src_len`` already satisfies
     the streaming-block rule when sources exceed the residency budget)."""
-    if backend in ("jnp", "pm"):
+    if backend in ("jnp", "pm", "p3m"):
         return max(mass_len, 1)
     return src_len
 

@@ -1,0 +1,179 @@
+"""P³M solver (ops/p3m_forces.py) — beyond-reference accurate-at-all-ranges
+backend. Force-split correctness (mesh taper + exact PP + exact-core rows),
+error envelopes vs the direct sum, cell-table semantics, World integration."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import nbody_tpu as nb
+from nbody_tpu import forces
+from nbody_tpu.ops.p3m_forces import (
+    _cell_pack, _to_blocks, p3m_acc, p3m_cell_overflow,
+)
+from nbody_tpu.ops.pm_forces import pm_acc
+from nbody_tpu.types import SimConfig
+
+
+def _scene_errors(backend_acc):
+    """Per-particle relative force error vs the exact direct sum."""
+    scene = nb.make_galaxies(2048, 2, seed=11037)
+    w = nb.create_world(scene)
+    pos = w.state.pos[: w.total_len]
+    rad = w.state.radius[: w.total_len]
+    src = pos[: w.mass_len]
+    gm = w.gm[: w.mass_len]
+    ref = np.asarray(forces.direct_sum_acc(pos, rad, src, gm, precise=True))
+    got = np.asarray(backend_acc(pos, rad, src, gm))
+    mag = np.hypot(ref[:, 0], ref[:, 1])
+    return np.hypot(*(got - ref).T) / (mag + 0.01 * mag.mean())
+
+
+def test_error_envelope_and_beats_pm():
+    # The PP correction must collapse the near-field error tail that plain
+    # PM leaves (close pairs smoothed to the global softening).
+    err_pm = _scene_errors(
+        lambda pos, rad, src, gm: pm_acc(pos, src, gm, 2.0, grid=256))
+    err_p3m = _scene_errors(
+        lambda pos, rad, src, gm: p3m_acc(pos, rad, src, gm, 2.0, grid=256))
+    assert np.median(err_p3m) < 2e-3
+    assert np.percentile(err_p3m, 99) < 5e-2
+    assert err_p3m.max() < 0.12
+    # tail at least 3x better than PM on the same grid
+    assert err_p3m.max() < err_pm.max() / 3.0
+
+
+def test_rc_widening_shrinks_tail():
+    e4 = _scene_errors(
+        lambda pos, rad, src, gm: p3m_acc(pos, rad, src, gm, 2.0, grid=256,
+                                          rc_cells=4, cell_capacity=192))
+    e8 = _scene_errors(
+        lambda pos, rad, src, gm: p3m_acc(pos, rad, src, gm, 2.0, grid=256,
+                                          rc_cells=8, cell_capacity=192))
+    assert e8.max() < e4.max()
+
+
+def test_close_pair_is_reference_exact():
+    # Two bodies one cell apart: mesh alone smears them; P³M's PP stage must
+    # restore the reference force law including the per-target radius
+    # softening (sim_cpu.c:176) to fp32 accuracy.
+    pos = jnp.array([[0.0, 0.0], [3.0, 0.0]], jnp.float32)
+    rad = jnp.array([2.0, 5.0], jnp.float32)
+    gm = jnp.array([100.0, 50.0], jnp.float32)
+    # spread bystanders so the adaptive box (and h) is macroscopic
+    far = jnp.array([[-500.0, -500.0], [500.0, 500.0]], jnp.float32)
+    allpos = jnp.concatenate([pos, far])
+    allrad = jnp.concatenate([rad, jnp.array([1.0, 1.0], jnp.float32)])
+    allgm = jnp.concatenate([gm, jnp.array([1.0, 1.0], jnp.float32)])
+    ref = np.asarray(forces.direct_sum_acc(allpos, allrad, allpos, allgm,
+                                           precise=True))
+    got = np.asarray(p3m_acc(allpos, allrad, allpos, allgm, 2.0, grid=128,
+                             exact_targets=0))
+    # the close pair dominates rows 0-1; agreement must be ~mesh-residual of
+    # the far bystanders, i.e. tight
+    np.testing.assert_allclose(got[:2], ref[:2], rtol=2e-3, atol=1e-5)
+
+
+def test_cell_table_keeps_heaviest_and_reports_overflow():
+    # 20 sources in one cell, capacity 8: the 8 heaviest stay, 12 dropped.
+    n = 20
+    pos = jnp.stack([jnp.linspace(0.0, 1.0, n), jnp.zeros(n)], axis=1)
+    gm = jnp.arange(1.0, n + 1.0, dtype=jnp.float32)  # heaviest = last
+    lo = jnp.array([0.0, 0.0], jnp.float32)
+    order, cid, rank, counts = _cell_pack(pos, lo, 1.0 / 100.0, 4,
+                                          priority=gm)
+    blocks = _to_blocks(gm[order], cid, rank, 4, 8)
+    kept = np.asarray(blocks[0, 0])
+    kept = kept[kept > 0]
+    assert len(kept) == 8
+    # heaviest-first within the cell: gm 13..20 survive, 1..12 dropped
+    assert set(kept) == set(float(v) for v in range(13, 21))
+    # overflow counter: 20 near-coincident sources (one far point sets the
+    # adaptive box scale, so the cluster shares one cell), capacity 8
+    pos2 = jnp.concatenate(
+        [pos * 1e-3, jnp.array([[100.0, 100.0]], jnp.float32)])
+    gm2 = jnp.concatenate([gm, jnp.array([1.0], jnp.float32)])
+    ov = p3m_cell_overflow(pos2, gm2, grid=64, rc_cells=16, cell_capacity=8)
+    assert int(ov) == 12
+
+
+def test_overflow_degrades_gracefully():
+    # capacity too small for a dense scene: still finite, still better than
+    # or comparable to plain PM (dropped lightest pairs revert to mesh-only)
+    err = _scene_errors(
+        lambda pos, rad, src, gm: p3m_acc(pos, rad, src, gm, 2.0, grid=256,
+                                          cell_capacity=8))
+    assert np.all(np.isfinite(err))
+    assert np.median(err) < 5e-3
+
+
+def test_world_p3m_backend_short_trajectory_matches_jnp():
+    # small grid/capacity: PP cost is gc²·9·cap² regardless of occupancy,
+    # and CI runs on one CPU core (production sizing notes in SCALING.md)
+    scene = nb.make_galaxies(1500, 1, seed=5)
+    cfg = SimConfig(tile_targets=128, pm_grid=256, p3m_cell_capacity=32)
+    w_ref = nb.create_world(scene, config=cfg)
+    w_p3m = nb.create_world(scene, config=cfg)
+    w_ref.update(0.01, 20, backend="jnp")
+    w_p3m.update(0.01, 20, backend="p3m")
+    ref = np.asarray(w_ref.particles.pos)
+    got = np.asarray(w_p3m.particles.pos)
+    scale = np.abs(ref).max()
+    assert np.max(np.abs(got - ref)) / scale < 1e-4
+
+
+def test_world_p3m_massless_tracers_move_and_stay_finite():
+    scene = nb.make_galaxies(800, 2, seed=9)
+    w = nb.create_world(scene, config=SimConfig(
+        tile_targets=128, pm_grid=128, p3m_cell_capacity=32))
+    before = np.asarray(w.particles.pos).copy()
+    w.update(0.05, 10, backend="p3m")
+    after = np.asarray(w.particles.pos)
+    assert np.all(np.isfinite(after))
+    assert np.any(np.abs(after - before) > 0)
+
+
+def test_p3m_rollout_gradients_match_direct():
+    # p3m is scatter/gather/FFT/sort jnp — jax.grad flows natively; with the
+    # exact PP correction its gradient should track the direct solver's even
+    # tighter than plain PM's
+    import jax
+    from nbody_tpu.autodiff import rollout
+
+    scene = nb.make_galaxies(300, 1, seed=2)
+    w = nb.create_world(scene)
+    host = w.particles
+    pos = jnp.asarray(host.pos)
+    vel = jnp.asarray(host.vel)
+    mass = jnp.asarray(host.mass)
+    radius = jnp.asarray(host.radius)
+
+    def loss(p0, backend):
+        p, v = rollout(p0, vel, mass, radius, 0.01, n_steps=5,
+                       mass_len=w.mass_len, backend=backend, pm_grid=128)
+        return jnp.sum(p**2)
+
+    g_p3m = np.asarray(jax.grad(lambda p: loss(p, "p3m"))(pos))
+    assert np.all(np.isfinite(g_p3m))
+    g_ref = np.asarray(jax.grad(lambda p: loss(p, "jnp"))(pos))
+    scale = np.abs(g_ref).max()
+    err = np.percentile(np.abs(g_p3m - g_ref).max(axis=1) / scale, 95)
+    assert err < 2e-2, f"p95 gradient mismatch {err:.3f}"
+
+
+def test_sharded_p3m_rejected():
+    from nbody_tpu.parallel.sharding import ShardedWorld, make_mesh
+
+    scene = nb.make_galaxies(256, 1, seed=3)
+    with pytest.raises(ValueError, match="single-device"):
+        ShardedWorld(scene, make_mesh(), force_backend="p3m")
+
+
+def test_config_validation():
+    with pytest.raises(ValueError, match="p3m_rc_cells"):
+        SimConfig(p3m_rc_cells=1)
+    with pytest.raises(ValueError, match="p3m_cell_capacity"):
+        SimConfig(p3m_cell_capacity=4)
+    with pytest.raises(ValueError, match="p3m_exact_targets"):
+        SimConfig(p3m_exact_targets=-1)
