@@ -97,25 +97,53 @@ def _to_blocks(vals, cid, rank, gc, cap, fill=0.0):
     return out.reshape(gc, gc, cap)
 
 
+def _pack_source_blocks(src_pos, src_gm, lo, inv_c, gc, cap):
+    """Pack sources into (gc, gc, cap) cell blocks, heaviest-first within a
+    cell. Empty slots / dropped overflow keep gm = 0 => contribute exactly
+    zero (the reference's own zero-pad trick, sim_cpu.c:133-142)."""
+    order_s, cid_s, rank_s, _ = _cell_pack(src_pos, lo, inv_c, gc,
+                                           priority=src_gm)
+    sx = _to_blocks(src_pos[order_s, 0], cid_s, rank_s, gc, cap)
+    sy = _to_blocks(src_pos[order_s, 1], cid_s, rank_s, gc, cap)
+    sgm = _to_blocks(src_gm[order_s], cid_s, rank_s, gc, cap)
+    return sx, sy, sgm
+
+
 def _pp_correction(tgt_pos, tgt_radius, src_pos, src_gm, lo, inv_c, gc,
                    cap, rc, eps2, precise):
     """Short-range correction (exact minus tapered-smooth, pairs d < rc)
     via dense cell blocks and shifted-slice neighbor access. Returns (T, 2).
     """
-    # -- pack sources (heaviest-first within a cell) and targets (stable,
-    #    massive-first-world order) into cell blocks
-    order_s, cid_s, rank_s, _ = _cell_pack(src_pos, lo, inv_c, gc,
-                                           priority=src_gm)
-    sx = _to_blocks(src_pos[order_s, 0], cid_s, rank_s, gc, cap)
-    sy = _to_blocks(src_pos[order_s, 1], cid_s, rank_s, gc, cap)
-    # empty slots / dropped overflow keep gm = 0 => contribute exactly zero
-    # (the reference's own zero-pad trick, sim_cpu.c:133-142)
-    sgm = _to_blocks(src_gm[order_s], cid_s, rank_s, gc, cap)
+    blocks = _pack_source_blocks(src_pos, src_gm, lo, inv_c, gc, cap)
+    return _pp_from_blocks(tgt_pos, tgt_radius, blocks, lo, inv_c, gc,
+                           cap, rc, eps2, precise)
 
-    order_t, cid_t, rank_t, _ = _cell_pack(tgt_pos, lo, inv_c, gc)
-    tx = _to_blocks(tgt_pos[order_t, 0], cid_t, rank_t, gc, cap)
-    ty = _to_blocks(tgt_pos[order_t, 1], cid_t, rank_t, gc, cap)
-    trad = _to_blocks(tgt_radius[order_t], cid_t, rank_t, gc, cap, fill=1.0)
+
+def _pp_from_blocks(tgt_pos, tgt_radius, src_blocks, lo, inv_c, gc,
+                    cap_t, rc, eps2, precise, axis_name=None):
+    """PP correction of ``tgt_pos`` against pre-packed (gc, gc, cap_s)
+    source cell blocks (the collective path all-gathers + merges these
+    across the mesh before calling).
+
+    ``axis_name``: set when called per-shard under ``shard_map`` with
+    contiguously index-sharded targets. Target-overflow semantics ("rank >=
+    cap_t in the cell -> mesh-only accuracy") must then use each target's
+    GLOBAL cell rank — local rank plus the cell's target count on all
+    preceding devices (contiguous sharding preserves global row order), so
+    exactly the same rows degrade as on one device. Costs one all-gather of
+    the (gc²,) count vector."""
+    sx, sy, sgm = src_blocks
+    order_t, cid_t, rank_t, counts_t = _cell_pack(tgt_pos, lo, inv_c, gc)
+    grank_t = rank_t
+    if axis_name is not None:
+        all_counts = jax.lax.all_gather(counts_t, axis_name)  # (D, gc²)
+        me = jax.lax.axis_index(axis_name)
+        before = jnp.arange(all_counts.shape[0])[:, None] < me
+        grank_t = rank_t + jnp.where(before, all_counts, 0).sum(0)[cid_t]
+    tx = _to_blocks(tgt_pos[order_t, 0], cid_t, rank_t, gc, cap_t)
+    ty = _to_blocks(tgt_pos[order_t, 1], cid_t, rank_t, gc, cap_t)
+    trad = _to_blocks(tgt_radius[order_t], cid_t, rank_t, gc, cap_t,
+                      fill=1.0)
 
     # -- zero-pad a one-cell ring (out-of-range neighbors read gm = 0 rows)
     #    and concatenate the 9 shifted neighbor views along the capacity
@@ -162,14 +190,106 @@ def _pp_correction(tgt_pos, tgt_radius, src_pos, src_gm, lo, inv_c, gc,
     # primal-only path is unaffected.
     corr_blocks = jax.lax.map(
         jax.checkpoint(row), (tx, ty, trad, nsx, nsy, nsg)
-    ).reshape(gc * gc, cap, 2)
+    ).reshape(gc * gc, cap_t, 2)
 
-    # -- unpack: one gather per target; overflowed targets (rank >= cap)
-    #    received no slot -> zero correction (mesh-only accuracy)
-    safe = jnp.minimum(rank_t, cap - 1)
+    # -- unpack: one gather per target; overflowed targets (global rank >=
+    #    cap) received no slot -> zero correction (mesh-only accuracy)
+    safe = jnp.minimum(rank_t, cap_t - 1)
     got = corr_blocks[cid_t, safe]
-    got = jnp.where((rank_t < cap)[:, None], got, 0.0)
+    got = jnp.where(((rank_t < cap_t) & (grank_t < cap_t))[:, None],
+                    got, 0.0)
     return jnp.zeros((tgt_pos.shape[0], 2), DTYPE).at[order_t].set(got)
+
+
+def p3m_acc_collective(
+    tgt_pos,        # (n_loc, 2) this device's resident rows
+    tgt_radius,     # (n_loc,)
+    src_gm_row,     # (n_loc,)  G*mass of the SAME resident rows (0 = inert)
+    softening=2.0,
+    *,
+    grid: int = 512,
+    rc_cells: int = 4,
+    cell_capacity: int = 96,
+    exact_targets: int = 64,
+    precise: bool = False,
+    tgt_mask=None,
+    axis_name: str,
+    n_devices: int,
+):
+    """Sharded P³M (call inside ``shard_map``): every device is both a
+    target shard and a source shard (its resident rows weighted by
+    ``src_gm_row``, like the collective PM). All communication is fixed-size
+    and independent of N:
+
+    * **mesh stage** — one psum of the (G, G) tapered mass grid
+      (``pm_acc_collective`` pattern); box agreed via pmin/pmax;
+    * **PP stage** — each device packs its local sources into full-capacity
+      ``(gc, gc, cap)`` cell blocks, one all-gather merges them along the
+      capacity axis (O(gc²·cap) over ICI), and a per-cell ``top_k`` by gm
+      reduces the merged panel back to the *global* heaviest-``cap`` slots —
+      every global top-``cap`` source is inside its owner's local top-``cap``,
+      so the reduced panel (and therefore the capacity semantics) matches the
+      single-device :func:`p3m_acc` exactly; the PP compute shape is then
+      identical to single-device regardless of D;
+    * **exact-core override** — per-device ``top_k`` radius candidates are
+      all-gathered (D·k rows), the global top-``exact_targets`` rows get a
+      direct sum accumulated by one psum of per-device partial rows, and each
+      device overwrites the rows it owns.
+
+    Returns masked-garbage rows for padding targets exactly like the
+    single-device path — the caller multiplies by ``valid``.
+    """
+    eps2 = jnp.asarray(softening, DTYPE) ** 2
+    all_min, all_max = _bounds(tgt_pos, tgt_pos, src_gm_row, tgt_mask)
+    all_min = jax.lax.pmin(all_min, axis_name)
+    all_max = jax.lax.pmax(all_max, axis_name)
+    lo, h = _box(all_min, all_max, grid)
+    rc = rc_cells * h
+
+    rho = _cic_scatter(tgt_pos, src_gm_row, lo, 1.0 / h, grid)
+    rho = jax.lax.psum(rho, axis_name)
+    a_grid = _solve(rho, h, eps2, grid, rc=rc)
+    acc = _cic_gather(a_grid, tgt_pos, lo, 1.0 / h, grid)
+
+    gc = max(grid // rc_cells, 1)
+    cell = (grid * h) / gc
+    cap = cell_capacity
+    sx, sy, sgm = _pack_source_blocks(
+        tgt_pos, src_gm_row, lo, 1.0 / cell, gc, cap)
+    if n_devices > 1:
+        # merge: (gc, gc, D*cap) panels, then keep the global heaviest cap
+        sx, sy, sgm = (
+            jax.lax.all_gather(b, axis_name, axis=2, tiled=True)
+            for b in (sx, sy, sgm))
+        sgm, sel = jax.lax.top_k(sgm, cap)
+        sx = jnp.take_along_axis(sx, sel, axis=-1)
+        sy = jnp.take_along_axis(sy, sel, axis=-1)
+    acc = acc + _pp_from_blocks(
+        tgt_pos, tgt_radius, (sx, sy, sgm), lo, 1.0 / cell, gc,
+        cap, rc, eps2, precise,
+        axis_name=axis_name if n_devices > 1 else None)
+
+    if exact_targets:
+        from .. import forces
+
+        n_loc = tgt_pos.shape[0]
+        k_loc = min(exact_targets, n_loc)
+        r_loc, i_loc = jax.lax.top_k(tgt_radius, k_loc)
+        cand_r = jax.lax.all_gather(r_loc, axis_name).reshape(-1)
+        cand_pos = jax.lax.all_gather(tgt_pos[i_loc], axis_name)
+        cand_i = jax.lax.all_gather(i_loc, axis_name).reshape(-1)
+        k = min(exact_targets, n_devices * k_loc)
+        _, sel = jax.lax.top_k(cand_r, k)
+        big_pos = cand_pos.reshape(-1, 2)[sel]
+        big_r = cand_r[sel]
+        partial = forces.pair_acc(big_pos, big_r, tgt_pos, src_gm_row,
+                                  precise=precise)
+        exact = jax.lax.psum(partial, axis_name)
+        me = jax.lax.axis_index(axis_name)
+        owner = sel // k_loc
+        row = jnp.where(owner == me, cand_i[sel], n_loc)  # n_loc -> dropped
+        acc = acc.at[row].set(exact, mode="drop")
+    return acc.astype(DTYPE)
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -115,9 +115,28 @@ def _pm_force_shard(pos, radius, gm_row, valid, *, config: SimConfig):
     return acc * valid
 
 
-def _pm_step_shard(pos, vel, radius, gm_row, valid, dt, *,
-                   config: SimConfig):
-    acc = _pm_force_shard(pos, radius, gm_row, valid, config=config)
+def _p3m_force_shard(pos, radius, gm_row, valid, *, config: SimConfig,
+                     n_devices: int):
+    """Masked acceleration via the collective P³M solve (psum'd tapered
+    mass grid + all-gathered/merged source cell blocks + psum'd exact-core
+    rows; see ops/p3m_forces.p3m_acc_collective). Same data layout as the
+    pm backend: each device's sources are its OWN resident rows weighted by
+    ``gm_row`` — no per-substep source reshard; all comm is fixed-size."""
+    from ..ops.p3m_forces import p3m_acc_collective
+
+    acc = p3m_acc_collective(
+        pos, radius, gm_row, softening=config.pm_softening,
+        grid=config.pm_grid, rc_cells=config.p3m_rc_cells,
+        cell_capacity=config.p3m_cell_capacity,
+        exact_targets=config.p3m_exact_targets, precise=config.precise,
+        tgt_mask=valid, axis_name=AXIS, n_devices=n_devices)
+    return acc * valid
+
+
+def _grid_step_shard(pos, vel, radius, gm_row, valid, dt, *, force):
+    """Euler substep shared by the grid-based (pm / p3m) collective
+    backends: force on resident rows, then local integration."""
+    acc = force(pos, radius, gm_row, valid)
     vel = vel + dt * acc
     pos = pos + dt * vel
     return pos, vel, acc
@@ -185,13 +204,6 @@ def _ring_step_shard(
 def _default_force_backend(force_backend):
     if force_backend is None:
         return "pallas" if jax.default_backend() == "tpu" else "jnp"
-    if force_backend == "p3m":
-        raise ValueError(
-            "p3m is single-device only for now: its short-range pair "
-            "correction needs spatial neighbor exchange across shards "
-            "(particles are index-sharded, not space-sharded). Use "
-            "force_backend='pm' for the sharded far-field solver, or a "
-            "single-chip World for p3m.")
     return force_backend
 
 
@@ -216,7 +228,7 @@ class ShardedWorld:
         mesh: Mesh | None = None,
         *,
         config: SimConfig = DEFAULT_SIM_CONFIG,
-        force_backend: Literal["jnp", "pallas", "pallas_ring", "pm"] | None = None,
+        force_backend: Literal["jnp", "pallas", "pallas_ring", "pm", "p3m"] | None = None,
     ):
         self.mesh = mesh if mesh is not None else make_mesh()
         d = self.mesh.devices.size
@@ -262,7 +274,7 @@ class ShardedWorld:
         # gm rows: ring backends take the massive-prefix slice resharded so
         # each device owns s_loc of it; pm takes the FULL per-target gm row
         # (sharded like pos) so it never reshards sources
-        if force_backend == "pm":
+        if force_backend in ("pm", "p3m"):
             self.gm_src = jax.device_put(gm_full, sh)
         else:
             self.gm_src = jax.device_put(gm_full[:src_len], sh)
@@ -319,7 +331,7 @@ class ShardedWorld:
             idx = jnp.arange(n_pad)
             gm = jnp.where(idx < mass_len, config.g * mass, 0.0).astype(mass.dtype)
             valid = (idx < total_len).astype(mass.dtype)[:, None]
-            gm_row = gm if force_backend == "pm" else gm[:src_len]
+            gm_row = gm if force_backend in ("pm", "p3m") else gm[:src_len]
             return gm_row, valid
 
         self.gm_src, self.valid = synth(self.mass)
@@ -334,10 +346,16 @@ class ShardedWorld:
         force_backend = self.force_backend
         src_len = self.src_len
 
-        if force_backend == "pm":
-            # pm: no per-substep source reshard (gm_src holds the per-TARGET
-            # gm row, sharded like pos); comm is the fixed O(G^2) psum inside
-            step = functools.partial(_pm_step_shard, config=config)
+        if force_backend in ("pm", "p3m"):
+            # pm/p3m: no per-substep source reshard (gm_src holds the
+            # per-TARGET gm row, sharded like pos); all comm is fixed-size
+            # grid/cell-block collectives inside the force fn
+            if force_backend == "pm":
+                force = functools.partial(_pm_force_shard, config=config)
+            else:
+                force = functools.partial(_p3m_force_shard, config=config,
+                                          n_devices=d)
+            step = functools.partial(_grid_step_shard, force=force)
             smapped = jax.shard_map(
                 lambda pos, vel, radius, gm_row, valid, dt: step(
                     pos, vel, radius, gm_row, valid, dt),
@@ -347,7 +365,6 @@ class ShardedWorld:
                 out_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None)),
                 check_vma=False,
             )
-            force = functools.partial(_pm_force_shard, config=config)
             smapped_force = jax.shard_map(
                 lambda pos, radius, gm_row, valid: force(
                     pos, radius, gm_row, valid),
@@ -409,7 +426,7 @@ class ShardedWorld:
                     # kick + half-drift fused in-kernel (pos_dt=0.5)
                     return smapped(pos_h, vel, radius, gm_src,
                                    gather_src(pos_h), valid, dt)
-                if force_backend == "pm":
+                if force_backend in ("pm", "p3m"):
                     acc = smapped_force(pos_h, radius, gm_src, valid)
                 else:
                     acc = smapped_force(pos_h, radius, gm_src,
@@ -417,7 +434,7 @@ class ShardedWorld:
                 vel = vel + dt * acc
                 pos = pos_h + (0.5 * dt) * vel
                 return pos, vel, acc
-            if force_backend == "pm":
+            if force_backend in ("pm", "p3m"):
                 return smapped(pos, vel, radius, gm_src, valid, dt)
             return smapped(pos, vel, radius, gm_src, gather_src(pos),
                            valid, dt)

@@ -162,12 +162,65 @@ def test_p3m_rollout_gradients_match_direct():
     assert err < 2e-2, f"p95 gradient mismatch {err:.3f}"
 
 
-def test_sharded_p3m_rejected():
+def test_sharded_p3m_matches_single_device():
+    """Collective P³M (psum'd tapered mass grid + all-gathered source cell
+    blocks reduced to the global heaviest-cap per cell + psum'd exact-core
+    rows) must reproduce the single-device p3m trajectory: the merged panel
+    reduction makes the capacity semantics identical, so only fp32 summation
+    order differs."""
     from nbody_tpu.parallel.sharding import ShardedWorld, make_mesh
 
-    scene = nb.make_galaxies(256, 1, seed=3)
-    with pytest.raises(ValueError, match="single-device"):
-        ShardedWorld(scene, make_mesh(), force_backend="p3m")
+    scene = nb.make_galaxies(1024, 2, seed=11037)
+    cfg = SimConfig(tile_targets=64, pm_grid=256, p3m_cell_capacity=32)
+    w = nb.create_world(scene, config=cfg, default_backend="p3m")
+    w.update(0.01, 3)
+    b = np.asarray(w.particles.pos)
+    scale = np.abs(b).max()
+    for d in (2, 8):
+        sw = ShardedWorld(scene, make_mesh(d), config=cfg,
+                          force_backend="p3m")
+        sw.update(0.01, 3)
+        a = np.asarray(sw.particles.pos)
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-6)
+
+
+def test_sharded_p3m_exact_cores_match_direct():
+    # the psum'd exact-core override: forces on the largest-radius targets
+    # (galaxy cores) must be direct-sum exact on the sharded path too
+    from nbody_tpu.parallel.sharding import ShardedWorld, make_mesh
+
+    scene = nb.make_galaxies(512, 2, seed=7)
+    cfg = SimConfig(tile_targets=64, pm_grid=128, p3m_cell_capacity=32,
+                    p3m_exact_targets=8)
+    w = nb.create_world(scene, config=cfg)
+    pos = w.state.pos[: w.total_len]
+    rad = w.state.radius[: w.total_len]
+    ref = np.asarray(forces.direct_sum_acc(
+        pos, rad, pos[: w.mass_len], w.gm[: w.mass_len], precise=False))
+
+    sw = ShardedWorld(scene, make_mesh(4), config=cfg, force_backend="p3m")
+    # after one Euler substep, .acc holds the force evaluated at the
+    # initial positions
+    sw.update(0.01, 1)
+    acc = np.asarray(sw.particles.acc)
+    big = np.argsort(-np.asarray(rad))[:8]
+    scale = np.abs(ref[big]).max()
+    np.testing.assert_allclose(acc[big] / scale, ref[big] / scale, atol=1e-5)
+
+
+def test_sharded_p3m_leapfrog():
+    from nbody_tpu.parallel.sharding import ShardedWorld, make_mesh
+
+    scene = nb.make_galaxies(512, 1, seed=3)
+    cfg = SimConfig(tile_targets=64, pm_grid=128, p3m_cell_capacity=32,
+                    integrator="leapfrog")
+    sw = ShardedWorld(scene, make_mesh(4), config=cfg, force_backend="p3m")
+    w = nb.create_world(scene, config=cfg, default_backend="p3m")
+    sw.update(0.01, 4)
+    w.update(0.01, 4)
+    np.testing.assert_allclose(
+        np.asarray(sw.particles.pos), np.asarray(w.particles.pos),
+        rtol=3e-4, atol=3e-3)
 
 
 def test_config_validation():
