@@ -119,6 +119,136 @@ def rollout(
     return pos, vel
 
 
+@functools.lru_cache(maxsize=None)
+def _sharded_rollout_fn(mesh, n, n_pad, mass_len, n_steps, backend, precise,
+                        remat, g, pm_grid, pm_softening, p3m_rc_cells,
+                        p3m_cell_capacity, p3m_exact_targets, chunk):
+    from jax.sharding import PartitionSpec as P
+
+    from .parallel.sharding import AXIS
+
+    d = mesh.devices.size
+
+    def body(pos, vel, radius, gm, valid, dt):
+        # per-device shards; collectives inside are differentiable (ppermute
+        # transposes to the inverse ring, psum/all_gather to their adjoints)
+        if backend == "pm":
+            from .ops.pm_forces import pm_acc_collective
+
+            def force(p):
+                return pm_acc_collective(
+                    p, p, gm, softening=pm_softening, grid=pm_grid,
+                    tgt_mask=valid, axis_name=AXIS) * valid
+
+        elif backend == "p3m":
+            from .ops.p3m_forces import p3m_acc_collective
+
+            def force(p):
+                return p3m_acc_collective(
+                    p, radius, gm, softening=pm_softening, grid=pm_grid,
+                    rc_cells=p3m_rc_cells, cell_capacity=p3m_cell_capacity,
+                    exact_targets=p3m_exact_targets, precise=precise,
+                    tgt_mask=valid, axis_name=AXIS, n_devices=d) * valid
+
+        else:
+            # ring of RESIDENT tiles: every device's own rows (gm-masked)
+            # rotate around the ring — no prefix gather needed inside the
+            # scan, and massless/padding rows contribute exactly zero
+            perm = [(i, (i + 1) % d) for i in range(d)]
+
+            def force(p):
+                acc = jnp.zeros_like(p)
+                sp, sg = p, gm
+                for hop in range(d):
+                    if hop < d - 1:
+                        nsp = jax.lax.ppermute(sp, AXIS, perm)
+                        nsg = jax.lax.ppermute(sg, AXIS, perm)
+                    acc = acc + forces.direct_sum_acc(
+                        p, radius, sp, sg,
+                        chunk=min(chunk, p.shape[0]), precise=precise)
+                    if hop < d - 1:
+                        sp, sg = nsp, nsg
+                return acc * valid
+
+        def step(carry, _):
+            p, v = carry
+            a = force(p)
+            v = v + dt * a
+            p = p + dt * v
+            return (p, v), None
+
+        if remat:
+            step = jax.checkpoint(step)
+        (pos, vel), _ = jax.lax.scan(step, (pos, vel), None, length=n_steps)
+        return pos, vel
+
+    smapped = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS), P(AXIS),
+                  P(AXIS, None), P()),
+        out_specs=(P(AXIS, None), P(AXIS, None)),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(pos, vel, mass, radius, dt):
+        def pad2(a):
+            return jnp.pad(a, ((0, n_pad - n), (0, 0)))
+
+        gm = jnp.where(jnp.arange(n) < mass_len, g * mass, 0.0)
+        gm = jnp.pad(gm.astype(pos.dtype), (0, n_pad - n))
+        rad = jnp.pad(radius.astype(pos.dtype), (0, n_pad - n),
+                      constant_values=1.0)
+        valid = (jnp.arange(n_pad) < n).astype(pos.dtype)[:, None]
+        p, v = smapped(pad2(pos), pad2(vel), rad, gm, valid,
+                       jnp.asarray(dt, pos.dtype))
+        return p[:n], v[:n]
+
+    return run
+
+
+def rollout_sharded(
+    pos, vel, mass, radius, dt, *,
+    n_steps: int,
+    mass_len: int,
+    mesh,
+    backend: str = "jnp",
+    precise: bool = True,
+    remat: bool = True,
+    g: float = G,
+    pm_grid: int = 512,
+    pm_softening: float = 2.0,
+    p3m_rc_cells: int = 4,
+    p3m_cell_capacity: int = 96,
+    p3m_exact_targets: int = 64,
+    chunk: int = 512,
+):
+    """Differentiable rollout sharded over a 1-D device mesh.
+
+    Multi-chip counterpart of :func:`rollout` (the reference cannot express
+    either): the whole n_steps scan runs inside ONE ``shard_map``, with the
+    force computed by differentiable collectives — a ``ppermute`` ring of
+    resident (pos, gm) tiles for ``backend="jnp"`` (gm-masked rows make
+    massless/padding rows inert, so no prefix reshard is needed inside the
+    scan), or the collective pm / p3m grid solvers. Reverse-mode AD flows
+    through the collectives (ppermute transposes to the inverse ring;
+    psum/all_gather to their adjoints), so ``jax.grad`` of a loss on the
+    returned global (pos, vel) gives per-particle sensitivities at
+    multi-chip scale. Inputs must be massive-first ordered (as
+    :func:`rollout`); returns final global (pos, vel) of length N.
+    """
+    from .types import round_up
+
+    n = pos.shape[0]
+    d = mesh.devices.size
+    n_pad = round_up(n, 8 * d)
+    fn = _sharded_rollout_fn(
+        mesh, n, n_pad, mass_len, n_steps, backend, precise, remat, g,
+        pm_grid, pm_softening, p3m_rc_cells, p3m_cell_capacity,
+        p3m_exact_targets, chunk)
+    return fn(pos, vel, mass, radius, jnp.asarray(dt, jnp.float32))
+
+
 def rollout_particles(particles: Particles, dt, n_steps: int, mass_len: int, **kw):
     pos, vel = rollout(
         particles.pos, particles.vel, particles.mass, particles.radius,

@@ -240,7 +240,11 @@ def p3m_acc_collective(
     single-device path — the caller multiplies by ``valid``.
     """
     eps2 = jnp.asarray(softening, DTYPE) ** 2
-    all_min, all_max = _bounds(tgt_pos, tgt_pos, src_gm_row, tgt_mask)
+    # box under stop_gradient: discretization choice, and pmin/pmax have no
+    # differentiation rule (see pm_acc_collective)
+    sg_pos = jax.lax.stop_gradient(tgt_pos)
+    all_min, all_max = _bounds(
+        sg_pos, sg_pos, jax.lax.stop_gradient(src_gm_row), tgt_mask)
     all_min = jax.lax.pmin(all_min, axis_name)
     all_max = jax.lax.pmax(all_max, axis_name)
     lo, h = _box(all_min, all_max, grid)
@@ -318,7 +322,10 @@ def p3m_acc(
     output rows are garbage-but-finite — callers mask them, as with ``pm``.
     """
     eps2 = jnp.asarray(softening, DTYPE) ** 2
-    all_min, all_max = _bounds(tgt_pos, src_pos, src_gm, tgt_mask)
+    # box under stop_gradient: discretization choice (see pm_acc)
+    all_min, all_max = _bounds(
+        jax.lax.stop_gradient(tgt_pos), jax.lax.stop_gradient(src_pos),
+        jax.lax.stop_gradient(src_gm), tgt_mask)
     lo, h = _box(all_min, all_max, grid)
     rc = rc_cells * h
 

@@ -149,7 +149,12 @@ def pm_acc_collective(
     runs replicated, and each device gathers only its local targets. The
     box is agreed globally via pmin/pmax, so all shards use one mesh."""
     eps2 = jnp.asarray(softening, DTYPE) ** 2
-    all_min, all_max = _bounds(tgt_pos, src_pos, src_gm, tgt_mask)
+    # the adaptive box is a discretization choice, not part of the physics —
+    # stop_gradient keeps reverse-mode AD out of pmin/pmax (which have no
+    # differentiation rule) without changing the value
+    all_min, all_max = _bounds(
+        jax.lax.stop_gradient(tgt_pos), jax.lax.stop_gradient(src_pos),
+        jax.lax.stop_gradient(src_gm), tgt_mask)
     all_min = jax.lax.pmin(all_min, axis_name)
     all_max = jax.lax.pmax(all_max, axis_name)
     lo, h = _box(all_min, all_max, grid)
@@ -178,9 +183,16 @@ def pm_acc(
     from the adaptive box (their gathered values are garbage-but-finite and
     the caller masks them); zero-``gm`` sources are likewise excluded, so a
     world padded with origin-pinned rows does not inflate the grid box.
+
+    The adaptive box is computed under ``stop_gradient``: it is a
+    discretization choice, not physics, and differentiating through it both
+    injects a min/max subgradient artifact and diverges from the collective
+    path (where ``pmin`` has no differentiation rule at all).
     """
     eps2 = jnp.asarray(softening, DTYPE) ** 2
-    all_min, all_max = _bounds(tgt_pos, src_pos, src_gm, tgt_mask)
+    all_min, all_max = _bounds(
+        jax.lax.stop_gradient(tgt_pos), jax.lax.stop_gradient(src_pos),
+        jax.lax.stop_gradient(src_gm), tgt_mask)
     lo, h = _box(all_min, all_max, grid)
     rho = _cic_scatter(src_pos, src_gm, lo, 1.0 / h, grid)
     a_grid = _solve(rho, h, eps2, grid)

@@ -128,3 +128,40 @@ def test_pallas_rollout_nonaligned_n():
     ga = jax.grad(lambda s: f("pallas", s))(jnp.float32(1.0))
     gj = jax.grad(lambda s: f("jnp", s))(jnp.float32(1.0))
     assert float(ga) == pytest.approx(float(gj), rel=1e-4)
+
+
+def test_sharded_rollout_matches_single_device():
+    """rollout_sharded: value AND gradient parity vs the single-device
+    rollout for all three differentiable collective force paths (ppermute
+    ring / psum'd pm grid / merged-cell-block p3m)."""
+    import nbody_tpu as nb
+    from nbody_tpu.autodiff import rollout_sharded
+    from nbody_tpu.parallel.sharding import make_mesh
+
+    scene = nb.make_galaxies(500, 1, seed=4)
+    w = nb.create_world(scene)
+    h = w.particles
+    pos, vel = jnp.asarray(h.pos), jnp.asarray(h.vel)
+    mass, radius = jnp.asarray(h.mass), jnp.asarray(h.radius)
+    mesh = make_mesh(8)
+
+    for backend, grid, tol in (("jnp", 64, 3e-5), ("pm", 128, 1e-5),
+                               ("p3m", 64, 1e-4)):
+        kw = dict(n_steps=3, mass_len=w.mass_len, backend=backend,
+                  pm_grid=grid)
+
+        def loss_s(p):
+            a, _ = rollout_sharded(p, vel, mass, radius, 0.01,
+                                   mesh=mesh, **kw)
+            return jnp.sum(a ** 2)
+
+        def loss_1(p):
+            a, _ = rollout(p, vel, mass, radius, 0.01, **kw)
+            return jnp.sum(a ** 2)
+
+        v_s, v_1 = float(loss_s(pos)), float(loss_1(pos))
+        assert v_s == pytest.approx(v_1, rel=1e-5), backend
+        g_s = np.asarray(jax.grad(loss_s)(pos))
+        g_1 = np.asarray(jax.grad(loss_1)(pos))
+        rel = np.abs(g_s - g_1).max() / np.abs(g_1).max()
+        assert rel < tol, f"{backend}: grad rel err {rel:.2e}"

@@ -223,6 +223,37 @@ def test_sharded_p3m_leapfrog():
         rtol=3e-4, atol=3e-3)
 
 
+def test_sharded_p3m_record_and_checkpoint_roundtrip(tmp_path):
+    # on-device sharded trajectory capture and the Orbax restore path must
+    # both work with the collective p3m backend (full-length gm row layout)
+    from nbody_tpu.parallel.sharding import ShardedWorld, make_mesh
+    from nbody_tpu.utils.checkpoint import (
+        load_sharded_world_orbax, save_world_orbax)
+
+    scene = nb.make_galaxies(512, 1, seed=11)
+    cfg = SimConfig(tile_targets=64, pm_grid=128, p3m_cell_capacity=32)
+    mesh = make_mesh(4)
+    sw = ShardedWorld(scene, mesh, config=cfg, force_backend="p3m")
+    traj = sw.record(0.01, frames=3, steps_per_frame=2)
+    assert traj.shape == (3, sw.total_len, 2)
+    assert np.all(np.isfinite(traj))
+    # single-device reference for the same capture
+    w = nb.create_world(scene, config=cfg, default_backend="p3m")
+    w.update(0.01, 6)
+    scale = np.abs(traj[-1]).max()
+    np.testing.assert_allclose(
+        traj[-1] / scale, np.asarray(w.particles.pos) / scale, atol=2e-6)
+
+    path = str(tmp_path / "ckpt")
+    save_world_orbax(path, sw)
+    sw2, _ = load_sharded_world_orbax(path, mesh, config=cfg,
+                                      force_backend="p3m")
+    np.testing.assert_allclose(np.asarray(sw2.particles.pos),
+                               np.asarray(sw.particles.pos))
+    sw2.update(0.01, 1)  # restored world must still step
+    assert np.all(np.isfinite(np.asarray(sw2.particles.pos)))
+
+
 def test_config_validation():
     with pytest.raises(ValueError, match="p3m_rc_cells"):
         SimConfig(p3m_rc_cells=1)
