@@ -48,6 +48,10 @@ def _add_scene_args(p: argparse.ArgumentParser) -> None:
                    help="p3m sources kept per cell (heaviest-first)")
     p.add_argument("--p3m-exact-targets", type=int, default=64,
                    help="p3m largest-radius targets computed by direct sum")
+    p.add_argument("--p3m-rebin", type=int, default=1,
+                   help="p3m: recompute cell sorts every this many substeps "
+                        "(1 = exact; >1 trades a bounded rc-boundary error "
+                        "for amortized sort cost at large N)")
 
 
 def _make_world(args):
@@ -59,7 +63,8 @@ def _make_world(args):
                        pm_grid=args.pm_grid, pm_softening=args.pm_softening,
                        p3m_rc_cells=args.p3m_rc_cells,
                        p3m_cell_capacity=args.p3m_cell_capacity,
-                       p3m_exact_targets=args.p3m_exact_targets)
+                       p3m_exact_targets=args.p3m_exact_targets,
+                       p3m_rebin_interval=args.p3m_rebin)
     return create_world(particles, config=config, default_backend=args.backend)
 
 

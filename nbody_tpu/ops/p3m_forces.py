@@ -82,30 +82,54 @@ def _cell_pack(pos, lo, inv_c, gc, priority=None):
     else:
         order = jnp.argsort(cid_raw, stable=True)
     cid = cid_raw[order]
-    counts = jax.ops.segment_sum(jnp.ones((n,), jnp.int32), cid,
-                                 num_segments=gc * gc)
-    starts = jnp.cumsum(counts) - counts
-    rank = jnp.arange(n, dtype=jnp.int32) - starts[cid]
+    # per-cell counts via binary search on the sorted ids (a segment_sum
+    # here is a 1M-row scatter-add — ~20x slower on TPU than this gather)
+    bounds = jnp.searchsorted(cid, jnp.arange(gc * gc + 1, dtype=jnp.int32))
+    counts = jnp.diff(bounds).astype(jnp.int32)
+    rank = jnp.arange(n, dtype=jnp.int32) - bounds[cid]
     return order, cid, rank, counts
 
 
 def _to_blocks(vals, cid, rank, gc, cap, fill=0.0):
     """Scatter sorted per-particle values into (gc, gc, cap) cell blocks;
-    ranks >= cap are dropped (overflow -> mesh-only accuracy)."""
+    ranks >= cap are dropped (overflow -> mesh-only accuracy).
+
+    Kept for unit tests / small inputs; the production path uses
+    :func:`_gather_blocks` — 1M-row scatters measured ~20 ms each on TPU
+    where the equivalent block gather is ~1 ms."""
     out = jnp.full((gc * gc, cap), jnp.asarray(fill, DTYPE))
     out = out.at[cid, rank].set(vals.astype(DTYPE), mode="drop")
     return out.reshape(gc, gc, cap)
+
+
+def _gather_blocks(sorted_vals_fills, counts, gc, cap):
+    """Build (gc, gc, cap) cell blocks from cell-sorted value arrays by
+    GATHER: block[c, k] = vals[starts[c] + k] for k < min(counts[c], cap),
+    else fill. One shared (gc², cap) index panel serves every array —
+    scatter-free (TPU scatters serialize; gathers vectorize)."""
+    counts = counts.astype(jnp.int32)
+    starts = jnp.cumsum(counts) - counts
+    slot = jnp.arange(cap, dtype=jnp.int32)
+    ok = slot[None, :] < jnp.minimum(counts, cap)[:, None]
+    idx = jnp.where(ok, starts[:, None] + slot[None, :], 0)
+    out = []
+    for vals, fill in sorted_vals_fills:
+        blk = jnp.where(ok, vals.astype(DTYPE)[idx],
+                        jnp.asarray(fill, DTYPE))
+        out.append(blk.reshape(gc, gc, cap))
+    return out
 
 
 def _pack_source_blocks(src_pos, src_gm, lo, inv_c, gc, cap):
     """Pack sources into (gc, gc, cap) cell blocks, heaviest-first within a
     cell. Empty slots / dropped overflow keep gm = 0 => contribute exactly
     zero (the reference's own zero-pad trick, sim_cpu.c:133-142)."""
-    order_s, cid_s, rank_s, _ = _cell_pack(src_pos, lo, inv_c, gc,
-                                           priority=src_gm)
-    sx = _to_blocks(src_pos[order_s, 0], cid_s, rank_s, gc, cap)
-    sy = _to_blocks(src_pos[order_s, 1], cid_s, rank_s, gc, cap)
-    sgm = _to_blocks(src_gm[order_s], cid_s, rank_s, gc, cap)
+    order_s, _, _, counts = _cell_pack(src_pos, lo, inv_c, gc,
+                                       priority=src_gm)
+    ps = src_pos[order_s]
+    sx, sy, sgm = _gather_blocks(
+        [(ps[:, 0], 0.0), (ps[:, 1], 0.0), (src_gm[order_s], 0.0)],
+        counts, gc, cap)
     return sx, sy, sgm
 
 
@@ -132,7 +156,6 @@ def _pp_from_blocks(tgt_pos, tgt_radius, src_blocks, lo, inv_c, gc,
     preceding devices (contiguous sharding preserves global row order), so
     exactly the same rows degrade as on one device. Costs one all-gather of
     the (gc²,) count vector."""
-    sx, sy, sgm = src_blocks
     order_t, cid_t, rank_t, counts_t = _cell_pack(tgt_pos, lo, inv_c, gc)
     grank_t = rank_t
     if axis_name is not None:
@@ -140,10 +163,21 @@ def _pp_from_blocks(tgt_pos, tgt_radius, src_blocks, lo, inv_c, gc,
         me = jax.lax.axis_index(axis_name)
         before = jnp.arange(all_counts.shape[0])[:, None] < me
         grank_t = rank_t + jnp.where(before, all_counts, 0).sum(0)[cid_t]
-    tx = _to_blocks(tgt_pos[order_t, 0], cid_t, rank_t, gc, cap_t)
-    ty = _to_blocks(tgt_pos[order_t, 1], cid_t, rank_t, gc, cap_t)
-    trad = _to_blocks(tgt_radius[order_t], cid_t, rank_t, gc, cap_t,
-                      fill=1.0)
+    return _pp_apply(tgt_pos, tgt_radius, src_blocks,
+                     order_t, cid_t, rank_t, counts_t, grank_t,
+                     gc, cap_t, rc, eps2, precise)
+
+
+def _pp_apply(tgt_pos, tgt_radius, src_blocks, order_t, cid_t, rank_t,
+              counts_t, grank_t, gc, cap_t, rc, eps2, precise):
+    """PP correction given pre-packed source blocks AND a pre-computed
+    target cell assignment (order/cid/rank/counts). Positions are always
+    read fresh through the (possibly frozen — see ``p3m_bins``) orders."""
+    sx, sy, sgm = src_blocks
+    pt = tgt_pos[order_t]
+    tx, ty, trad = _gather_blocks(
+        [(pt[:, 0], 0.0), (pt[:, 1], 0.0), (tgt_radius[order_t], 1.0)],
+        counts_t, gc, cap_t)
 
     # -- zero-pad a one-cell ring (out-of-range neighbors read gm = 0 rows)
     #    and concatenate the 9 shifted neighbor views along the capacity
@@ -321,12 +355,66 @@ def p3m_acc(
     sort after real rows (stable order), so they overflow first. Their
     output rows are garbage-but-finite — callers mask them, as with ``pm``.
     """
-    eps2 = jnp.asarray(softening, DTYPE) ** 2
-    # box under stop_gradient: discretization choice (see pm_acc)
+    bins = p3m_bins(
+        tgt_pos, tgt_radius, src_pos, src_gm, grid=grid, rc_cells=rc_cells,
+        exact_targets=exact_targets, tgt_mask=tgt_mask)
+    return p3m_acc_from_bins(
+        bins, tgt_pos, tgt_radius, src_pos, src_gm, softening,
+        grid=grid, rc_cells=rc_cells, cell_capacity=cell_capacity,
+        precise=precise)
+
+
+def p3m_bins(
+    tgt_pos, tgt_radius, src_pos, src_gm, *,
+    grid: int, rc_cells: int, exact_targets: int,
+    tgt_mask=None,
+):
+    """Freeze the P³M spatial structure for reuse across substeps: the
+    adaptive box, both cell sort orders (sources heaviest-first, targets
+    stable), the per-cell counts, and the exact-core row indices — a dict
+    pytree with static shapes, carried through ``lax.fori_loop`` by the
+    ``p3m_rebin_interval`` path of ``world.update_state``.
+
+    This is the Verlet-neighbor-list amortization from molecular dynamics:
+    positions are always read FRESH through these orders (the pair math
+    stays exact); only the neighbor *candidate* set goes stale. A pair
+    missed because it entered the cutoff after binning sat at distance
+    >= rc - drift, where the smootherstep-tapered correction is already
+    near zero — the error is bounded by the drift since the last rebin
+    (measured envelopes in tests/test_p3m.py)."""
     all_min, all_max = _bounds(
         jax.lax.stop_gradient(tgt_pos), jax.lax.stop_gradient(src_pos),
         jax.lax.stop_gradient(src_gm), tgt_mask)
     lo, h = _box(all_min, all_max, grid)
+    gc = max(grid // rc_cells, 1)
+    cell = (grid * h) / gc  # >= rc, so d < rc pairs live in 3x3 neighbors
+    inv_c = 1.0 / cell
+    order_s, _, _, counts_s = _cell_pack(src_pos, lo, inv_c, gc,
+                                         priority=src_gm)
+    order_t, cid_t, rank_t, counts_t = _cell_pack(tgt_pos, lo, inv_c, gc)
+    k = min(exact_targets, tgt_pos.shape[0])
+    _, big = jax.lax.top_k(tgt_radius, k)  # radius is constant in a run
+    return {
+        "lo": lo, "h": h,
+        "order_s": order_s, "counts_s": counts_s,
+        "order_t": order_t, "cid_t": cid_t, "rank_t": rank_t,
+        "counts_t": counts_t, "big": big,
+    }
+
+
+def p3m_acc_from_bins(
+    bins, tgt_pos, tgt_radius, src_pos, src_gm,
+    softening=2.0, *,
+    grid: int, rc_cells: int, cell_capacity: int,
+    precise: bool = False,
+):
+    """P³M accelerations with a frozen spatial structure (see
+    :func:`p3m_bins`). With bins built from the same positions this is
+    bit-identical to :func:`p3m_acc`; with stale bins the mesh stage and
+    all pair distances still use current positions — only the PP candidate
+    windows and the box lag."""
+    eps2 = jnp.asarray(softening, DTYPE) ** 2
+    lo, h = bins["lo"], bins["h"]
     rc = rc_cells * h
 
     rho = _cic_scatter(src_pos, src_gm, lo, 1.0 / h, grid)
@@ -334,16 +422,20 @@ def p3m_acc(
     acc = _cic_gather(a_grid, tgt_pos, lo, 1.0 / h, grid)
 
     gc = max(grid // rc_cells, 1)
-    cell = (grid * h) / gc  # >= rc, so d < rc pairs live in 3x3 neighbors
-    acc = acc + _pp_correction(
-        tgt_pos, tgt_radius, src_pos, src_gm, lo, 1.0 / cell, gc,
-        cell_capacity, rc, eps2, precise)
+    cap = cell_capacity
+    ps = src_pos[bins["order_s"]]
+    src_blocks = _gather_blocks(
+        [(ps[:, 0], 0.0), (ps[:, 1], 0.0), (src_gm[bins["order_s"]], 0.0)],
+        bins["counts_s"], gc, cap)
+    acc = acc + _pp_apply(
+        tgt_pos, tgt_radius, src_blocks,
+        bins["order_t"], bins["cid_t"], bins["rank_t"], bins["counts_t"],
+        bins["rank_t"], gc, cap, rc, eps2, precise)
 
-    if exact_targets:
+    big = bins["big"]
+    if big.shape[0]:
         from .. import forces
 
-        k = min(exact_targets, tgt_pos.shape[0])
-        _, big = jax.lax.top_k(tgt_radius, k)
         exact = forces.pair_acc(tgt_pos[big], tgt_radius[big],
                                 src_pos, src_gm, precise=precise)
         acc = acc.at[big].set(exact)

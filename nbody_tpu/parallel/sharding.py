@@ -353,6 +353,12 @@ class ShardedWorld:
             if force_backend == "pm":
                 force = functools.partial(_pm_force_shard, config=config)
             else:
+                if config.p3m_rebin_interval != 1:
+                    raise ValueError(
+                        "p3m_rebin_interval > 1 is single-device only: the "
+                        "collective path would need the frozen bins' global "
+                        "rank offsets carried across the mesh. Use the "
+                        "default (1) for sharded worlds.")
                 force = functools.partial(_p3m_force_shard, config=config,
                                           n_devices=d)
             step = functools.partial(_grid_step_shard, force=force)

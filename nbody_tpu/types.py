@@ -158,6 +158,12 @@ class SimConfig:
     p3m_rc_cells: int = 4
     p3m_cell_capacity: int = 96
     p3m_exact_targets: int = 64
+    # Verlet-list amortization for p3m: recompute the cell sorts every this
+    # many substeps instead of every substep (1 = exact, the default).
+    # Positions are always read fresh through the frozen orders; the error
+    # is pairs that crossed the (taper-suppressed) rc boundary since the
+    # last rebin — bounded by the drift per k substeps. Single-device only.
+    p3m_rebin_interval: int = 1
 
     def __post_init__(self):
         if self.integrator not in ("euler", "leapfrog"):
@@ -178,6 +184,10 @@ class SimConfig:
         if self.p3m_exact_targets < 0:
             raise ValueError(
                 f"p3m_exact_targets must be >= 0, got {self.p3m_exact_targets}")
+        if self.p3m_rebin_interval < 1:
+            raise ValueError(
+                f"p3m_rebin_interval must be >= 1, got "
+                f"{self.p3m_rebin_interval}")
         if (self.tile_targets % 8 or self.tile_sources % 128
                 or self.kernel_tile_targets % 8):
             raise ValueError(

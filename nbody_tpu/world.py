@@ -126,6 +126,7 @@ def _step(
     config: SimConfig,
     backend: Backend,
     interpret: bool | None,
+    p3m_bins=None,
 ) -> Particles:
     """One substep: force + semi-implicit Euler. Jacobi snapshot semantics —
     all targets see the same pre-step source positions (the reference's
@@ -162,7 +163,8 @@ def _step(
         mid = Particles(pos=pos_h, vel=state.vel, acc=state.acc,
                         mass=state.mass, radius=state.radius)
         acc = _force(mid, gm, src_len=src_len, config=config,
-                     backend=backend, interpret=interpret, valid=valid) * valid
+                     backend=backend, interpret=interpret, valid=valid,
+                     p3m_bins=p3m_bins) * valid
         vel = state.vel + dt * acc
         pos = pos_h + half * vel
         return Particles(pos=pos, vel=vel, acc=acc,
@@ -171,7 +173,8 @@ def _step(
     # Padding rows stay identically zero (replaces the shader's
     # `if (i >= total_len) return` guard, particle_cs.glsl:30).
     acc = _force(state, gm, src_len=src_len, config=config,
-                 backend=backend, interpret=interpret, valid=valid) * valid
+                 backend=backend, interpret=interpret, valid=valid,
+                 p3m_bins=p3m_bins) * valid
     vel = state.vel + dt * acc
     pos = state.pos + dt * vel
     return Particles(pos=pos, vel=vel, acc=acc, mass=state.mass, radius=state.radius)
@@ -186,6 +189,7 @@ def _force(
     backend: Backend,
     interpret: bool | None,
     valid: jax.Array | None = None,
+    p3m_bins=None,
 ) -> jax.Array:
     """Backend-dispatched direct-sum acceleration (unmasked)."""
     src_pos = state.pos[:src_len]
@@ -220,6 +224,17 @@ def _force(
         # P³M: PM far field + exact short-range pair correction + exact
         # rows for the largest-softening targets — accurate at all ranges,
         # still O(N) (ops/p3m_forces.py)
+        if p3m_bins is not None:
+            # frozen spatial structure (p3m_rebin_interval > 1): reuse the
+            # carried bins; positions stay exact through the orders
+            from .ops.p3m_forces import p3m_acc_from_bins
+
+            return p3m_acc_from_bins(
+                p3m_bins, state.pos, state.radius, src_pos, src_gm,
+                softening=config.pm_softening, grid=config.pm_grid,
+                rc_cells=config.p3m_rc_cells,
+                cell_capacity=config.p3m_cell_capacity,
+                precise=config.precise)
         from .ops.p3m_forces import p3m_acc
 
         return p3m_acc(state.pos, state.radius, src_pos, src_gm,
@@ -265,6 +280,30 @@ def update_state(
         _step, gm=gm, valid=valid, dt=dt,
         src_len=src_len, config=config, backend=backend, interpret=interpret,
     )
+    if backend == "p3m" and config.p3m_rebin_interval > 1:
+        # Verlet-list amortization: the cell sorts (the PP stage's dominant
+        # cost at large N) are recomputed every p3m_rebin_interval substeps
+        # and carried through the loop; every substep still reads positions
+        # fresh through the frozen orders (see ops/p3m_forces.p3m_bins).
+        from .ops.p3m_forces import p3m_bins as _make_bins
+
+        k = config.p3m_rebin_interval
+
+        def bins_of(st):
+            return _make_bins(
+                st.pos, st.radius, st.pos[:src_len], gm[:src_len],
+                grid=config.pm_grid, rc_cells=config.p3m_rc_cells,
+                exact_targets=config.p3m_exact_targets, tgt_mask=valid)
+
+        def loop_body(i, carry):
+            st, bins = carry
+            bins = jax.lax.cond(
+                i % k == 0, lambda op: bins_of(op[0]), lambda op: op[1],
+                (st, bins))
+            return body(st, p3m_bins=bins), bins
+
+        st, _ = jax.lax.fori_loop(0, n, loop_body, (state, bins_of(state)))
+        return st
     return jax.lax.fori_loop(0, n, lambda _, st: body(st), state)
 
 

@@ -5,6 +5,7 @@ error envelopes vs the direct sum, cell-table semantics, World integration."""
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 import nbody_tpu as nb
@@ -254,6 +255,69 @@ def test_sharded_p3m_record_and_checkpoint_roundtrip(tmp_path):
     assert np.all(np.isfinite(np.asarray(sw2.particles.pos)))
 
 
+def test_bins_path_matches_p3m_acc_exactly():
+    # p3m_acc_from_bins with fresh bins must be bit-identical to p3m_acc
+    # (same structure, same math — the bins are just factored out)
+    from nbody_tpu.ops.p3m_forces import p3m_acc_from_bins, p3m_bins
+
+    scene = nb.make_galaxies(1024, 2, seed=11037)
+    w = nb.create_world(scene)
+    pos = w.state.pos[: w.total_len]
+    rad = w.state.radius[: w.total_len]
+    src = pos[: w.mass_len]
+    gm = w.gm[: w.mass_len]
+    ref = np.asarray(p3m_acc(pos, rad, src, gm, 2.0, grid=256,
+                             cell_capacity=32))
+
+    @jax.jit
+    def via_bins(pos, rad, src, gm):
+        bins = p3m_bins(pos, rad, src, gm, grid=256, rc_cells=4,
+                        exact_targets=64)
+        return p3m_acc_from_bins(bins, pos, rad, src, gm, 2.0,
+                                 grid=256, rc_cells=4, cell_capacity=32)
+
+    # same graph under one jit -> identical up to fusion-order noise
+    got = np.asarray(via_bins(pos, rad, src, gm))
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got / scale, ref / scale, atol=1e-7)
+
+
+def test_rebin_interval_error_is_bounded():
+    # rebin=1 is the exact (default) behavior; rebin=4 may only miss pairs
+    # that crossed the taper-suppressed rc boundary since the last rebin —
+    # the trajectory must track the exact one to a small relative error
+    scene = nb.make_galaxies(1500, 1, seed=5)
+    base = dict(tile_targets=128, pm_grid=256, p3m_cell_capacity=32)
+    w1 = nb.create_world(scene, config=SimConfig(**base))
+    w4 = nb.create_world(scene, config=SimConfig(**base,
+                                                 p3m_rebin_interval=4))
+    w1.update(0.01, 24, backend="p3m")
+    w4.update(0.01, 24, backend="p3m")
+    a = np.asarray(w1.particles.pos)
+    b = np.asarray(w4.particles.pos)
+    scale = np.abs(a).max()
+    err = np.abs(a - b).max() / scale
+    assert err < 2e-4, f"rebin drift error {err:.2e}"
+    # and the first substep after each rebin is exactly aligned in structure:
+    # a fresh-rebin run of k substeps starts identical to the exact run
+    w1b = nb.create_world(scene, config=SimConfig(**base))
+    w4b = nb.create_world(scene, config=SimConfig(**base,
+                                                  p3m_rebin_interval=4))
+    w1b.update(0.01, 1, backend="p3m")
+    w4b.update(0.01, 1, backend="p3m")
+    np.testing.assert_array_equal(np.asarray(w1b.particles.pos),
+                                  np.asarray(w4b.particles.pos))
+
+
+def test_rebin_rejected_for_sharded_p3m():
+    from nbody_tpu.parallel.sharding import ShardedWorld, make_mesh
+
+    scene = nb.make_galaxies(256, 1, seed=3)
+    cfg = SimConfig(tile_targets=64, pm_grid=128, p3m_rebin_interval=2)
+    with pytest.raises(ValueError, match="single-device"):
+        ShardedWorld(scene, make_mesh(2), config=cfg, force_backend="p3m")
+
+
 def test_config_validation():
     with pytest.raises(ValueError, match="p3m_rc_cells"):
         SimConfig(p3m_rc_cells=1)
@@ -261,3 +325,5 @@ def test_config_validation():
         SimConfig(p3m_cell_capacity=4)
     with pytest.raises(ValueError, match="p3m_exact_targets"):
         SimConfig(p3m_exact_targets=-1)
+    with pytest.raises(ValueError, match="p3m_rebin_interval"):
+        SimConfig(p3m_rebin_interval=0)
