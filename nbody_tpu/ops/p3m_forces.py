@@ -105,19 +105,25 @@ def _to_blocks(vals, cid, rank, gc, cap, fill=0.0):
 def _gather_blocks(sorted_vals_fills, counts, gc, cap):
     """Build (gc, gc, cap) cell blocks from cell-sorted value arrays by
     GATHER: block[c, k] = vals[starts[c] + k] for k < min(counts[c], cap),
-    else fill. One shared (gc², cap) index panel serves every array —
-    scatter-free (TPU scatters serialize; gathers vectorize)."""
+    else fill. The channels are stacked and fetched in ONE gather through a
+    shared (gc², cap) index panel — measured on v5e, each 1.57M-element
+    gather costs ~15 ms, so one stacked gather instead of three is the
+    difference between a ~30 ms and a ~90 ms pack at N=1M."""
     counts = counts.astype(jnp.int32)
+    stacked = jnp.stack([v.astype(DTYPE) for v, _ in sorted_vals_fills],
+                        axis=-1)                       # (N, C)
+    c_dim = stacked.shape[-1]
+    fills = jnp.array([f for _, f in sorted_vals_fills], DTYPE)
     starts = jnp.cumsum(counts) - counts
     slot = jnp.arange(cap, dtype=jnp.int32)
     ok = slot[None, :] < jnp.minimum(counts, cap)[:, None]
     idx = jnp.where(ok, starts[:, None] + slot[None, :], 0)
-    out = []
-    for vals, fill in sorted_vals_fills:
-        blk = jnp.where(ok, vals.astype(DTYPE)[idx],
-                        jnp.asarray(fill, DTYPE))
-        out.append(blk.reshape(gc, gc, cap))
-    return out
+    got = stacked[idx]                                 # (gc², cap, C)
+    out3 = jnp.where(ok[..., None], got, fills)
+    # (an N-row scatter form was measured as well: 2.2x slower at N=1M and
+    # 1.3x slower at 262k — TPU scatters lose to monotonic gathers even
+    # when they move fewer elements)
+    return [out3[..., c].reshape(gc, gc, cap) for c in range(c_dim)]
 
 
 def _pack_source_blocks(src_pos, src_gm, lo, inv_c, gc, cap):
@@ -126,9 +132,10 @@ def _pack_source_blocks(src_pos, src_gm, lo, inv_c, gc, cap):
     zero (the reference's own zero-pad trick, sim_cpu.c:133-142)."""
     order_s, _, _, counts = _cell_pack(src_pos, lo, inv_c, gc,
                                        priority=src_gm)
-    ps = src_pos[order_s]
+    # one stacked row gather (x, y, gm) instead of two
+    row = jnp.concatenate([src_pos, src_gm[:, None]], axis=-1)[order_s]
     sx, sy, sgm = _gather_blocks(
-        [(ps[:, 0], 0.0), (ps[:, 1], 0.0), (src_gm[order_s], 0.0)],
+        [(row[:, 0], 0.0), (row[:, 1], 0.0), (row[:, 2], 0.0)],
         counts, gc, cap)
     return sx, sy, sgm
 
@@ -169,15 +176,36 @@ def _pp_from_blocks(tgt_pos, tgt_radius, src_blocks, lo, inv_c, gc,
 
 
 def _pp_apply(tgt_pos, tgt_radius, src_blocks, order_t, cid_t, rank_t,
-              counts_t, grank_t, gc, cap_t, rc, eps2, precise):
+              counts_t, grank_t, gc, cap_t, rc, eps2, precise,
+              use_kernel=None):
     """PP correction given pre-packed source blocks AND a pre-computed
     target cell assignment (order/cid/rank/counts). Positions are always
-    read fresh through the (possibly frozen — see ``p3m_bins``) orders."""
+    read fresh through the (possibly frozen — see ``p3m_bins``) orders.
+
+    ``use_kernel``: route the pair block evaluation through the fused
+    Pallas kernel (ops/p3m_pallas.py) instead of the XLA neighbors+map
+    formulation. Default OFF everywhere: isolated on-chip measurement at
+    N=1M puts the kernel at 30 ms vs 17 ms for XLA's fused map — the same
+    broadcast-materialization tax that keeps the direct-sum kernel behind
+    XLA (docs/DESIGN.md §3), and the per-cell dynamic-slice loop adds its
+    own overhead. Kept as a tested, documented ablation (the pack/unpack
+    bookkeeping, not the pair compute, dominates the PP stage)."""
+    if use_kernel is None:
+        use_kernel = False
     sx, sy, sgm = src_blocks
-    pt = tgt_pos[order_t]
+    row = jnp.concatenate([tgt_pos, tgt_radius[:, None]],
+                          axis=-1)[order_t]
     tx, ty, trad = _gather_blocks(
-        [(pt[:, 0], 0.0), (pt[:, 1], 0.0), (tgt_radius[order_t], 1.0)],
+        [(row[:, 0], 0.0), (row[:, 1], 0.0), (row[:, 2], 1.0)],
         counts_t, gc, cap_t)
+
+    if use_kernel:
+        from .p3m_pallas import pp_blocks
+
+        corr_blocks = pp_blocks(tx, ty, trad, sx, sy, sgm, rc, eps2,
+                                precise=precise)
+        return _pp_unpack(corr_blocks, tgt_pos.shape[0], order_t, cid_t,
+                          rank_t, grank_t, cap_t)
 
     # -- zero-pad a one-cell ring (out-of-range neighbors read gm = 0 rows)
     #    and concatenate the 9 shifted neighbor views along the capacity
@@ -225,14 +253,19 @@ def _pp_apply(tgt_pos, tgt_radius, src_blocks, order_t, cid_t, rank_t,
     corr_blocks = jax.lax.map(
         jax.checkpoint(row), (tx, ty, trad, nsx, nsy, nsg)
     ).reshape(gc * gc, cap_t, 2)
+    return _pp_unpack(corr_blocks, tgt_pos.shape[0], order_t, cid_t,
+                      rank_t, grank_t, cap_t)
 
-    # -- unpack: one gather per target; overflowed targets (global rank >=
-    #    cap) received no slot -> zero correction (mesh-only accuracy)
+
+def _pp_unpack(corr_blocks, n, order_t, cid_t, rank_t, grank_t, cap_t):
+    """Route per-slot corrections back to original target order: one gather
+    per target; overflowed targets (global rank >= cap) received no slot ->
+    zero correction (mesh-only accuracy)."""
     safe = jnp.minimum(rank_t, cap_t - 1)
     got = corr_blocks[cid_t, safe]
     got = jnp.where(((rank_t < cap_t) & (grank_t < cap_t))[:, None],
                     got, 0.0)
-    return jnp.zeros((tgt_pos.shape[0], 2), DTYPE).at[order_t].set(got)
+    return jnp.zeros((n, 2), DTYPE).at[order_t].set(got)
 
 
 def p3m_acc_collective(

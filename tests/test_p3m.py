@@ -318,6 +318,64 @@ def test_rebin_rejected_for_sharded_p3m():
         ShardedWorld(scene, make_mesh(2), config=cfg, force_backend="p3m")
 
 
+def test_pp_pallas_kernel_matches_jnp_path():
+    """The fused Pallas PP kernel (interpret mode off-TPU) must reproduce
+    the XLA neighbors+map formulation on the same packed blocks — same
+    math, different execution."""
+    from nbody_tpu.ops.p3m_forces import (
+        _cell_pack, _gather_blocks, _pack_source_blocks)
+    from nbody_tpu.ops.p3m_pallas import _pp_blocks_jnp, pp_blocks
+    from nbody_tpu.ops.pm_forces import _bounds, _box
+
+    scene = nb.make_galaxies(600, 2, seed=11037)
+    w = nb.create_world(scene)
+    pos = w.state.pos[: w.total_len]
+    rad = w.state.radius[: w.total_len]
+    src = pos[: w.mass_len]
+    gm = w.gm[: w.mass_len]
+    grid, rc_cells, cap = 128, 4, 16
+    gc = grid // rc_cells
+    mn, mx = _bounds(pos, src, gm, None)
+    lo, h = _box(mn, mx, grid)
+    rc = rc_cells * h
+    cell = (grid * h) / gc
+    sx, sy, sg = _pack_source_blocks(src, gm, lo, 1.0 / cell, gc, cap)
+    order_t, _, _, counts_t = _cell_pack(pos, lo, 1.0 / cell, gc)
+    pt = pos[order_t]
+    tx, ty, tr = _gather_blocks(
+        [(pt[:, 0], 0.0), (pt[:, 1], 0.0), (rad[order_t], 1.0)],
+        counts_t, gc, cap)
+
+    for precise in (False, True):
+        ref = np.asarray(_pp_blocks_jnp(tx, ty, tr, sx, sy, sg, rc, 4.0,
+                                        precise=precise))
+        got = np.asarray(pp_blocks(tx, ty, tr, sx, sy, sg, rc, 4.0,
+                                   precise=precise, interpret=True))
+        scale = max(np.abs(ref).max(), 1e-30)
+        # the kernel multiplies by a precomputed 1/rc where the jnp path
+        # divides by rc: pairs exactly at the taper boundary can round to
+        # slightly different u, so a handful of near-rc pairs differ at
+        # ~1e-5 of scale (2/32k here) — everything else is fp32-identical
+        np.testing.assert_allclose(got / scale, ref / scale, atol=5e-5)
+
+    # gradient path: custom-VJP backward (jnp recompute) stays finite and
+    # matches the pure-jnp gradient
+    def loss_k(tx_):
+        return jnp.sum(pp_blocks(tx_, ty, tr, sx, sy, sg, rc, 4.0,
+                                 interpret=True) ** 2)
+
+    def loss_j(tx_):
+        return jnp.sum(_pp_blocks_jnp(tx_, ty, tr, sx, sy, sg, rc, 4.0,
+                                      precise=False) ** 2)
+
+    gk = np.asarray(jax.grad(loss_k)(tx))
+    gj = np.asarray(jax.grad(loss_j)(tx))
+    gs = max(np.abs(gj).max(), 1e-30)
+    # the cotangent (2*pp) inherits the near-rc boundary rounding of the
+    # forward; this asserts the VJP plumbing, not boundary-pair rounding
+    np.testing.assert_allclose(gk / gs, gj / gs, atol=1e-3)
+
+
 def test_config_validation():
     with pytest.raises(ValueError, match="p3m_rc_cells"):
         SimConfig(p3m_rc_cells=1)
