@@ -260,12 +260,18 @@ def _pp_apply(tgt_pos, tgt_radius, src_blocks, order_t, cid_t, rank_t,
 def _pp_unpack(corr_blocks, n, order_t, cid_t, rank_t, grank_t, cap_t):
     """Route per-slot corrections back to original target order: one gather
     per target; overflowed targets (global rank >= cap) received no slot ->
-    zero correction (mesh-only accuracy)."""
+    zero correction (mesh-only accuracy).
+
+    The restore is a SORT by the (unique) original indices carrying the two
+    correction channels as payloads, not a scatter: measured 12 ms vs 50 ms
+    for the 1M-row permutation scatter on v5e — the same scatters-lose
+    finding as `_gather_blocks`."""
     safe = jnp.minimum(rank_t, cap_t - 1)
     got = corr_blocks[cid_t, safe]
     got = jnp.where(((rank_t < cap_t) & (grank_t < cap_t))[:, None],
                     got, 0.0)
-    return jnp.zeros((n, 2), DTYPE).at[order_t].set(got)
+    _, ox, oy = jax.lax.sort((order_t, got[:, 0], got[:, 1]), num_keys=1)
+    return jnp.stack([ox, oy], axis=-1).astype(DTYPE)
 
 
 def p3m_acc_collective(
