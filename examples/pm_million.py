@@ -4,8 +4,12 @@ particle-mesh far-field backend (backend="pm": CIC -> FFT convolution ->
 CIC; O(N + G^2 log G) per substep — ~19x the exact direct sum at N=1M on a
 single v5e chip, docs/BENCHMARKS.md).
 
-Usage: python examples/pm_million.py [n] [frames]
-Writes pm_million.gif next to the script.
+Usage: python examples/pm_million.py [n] [frames] [backend]
+``backend`` may be "pm" (default, fastest, approximate near field) or
+"p3m" (accurate at all ranges — mesh far field + exact short-range pair
+correction, ~146 ms/substep at N=1M; pass p3m to see it). The p3m run
+uses `p3m_rebin_interval=8` (Verlet-list amortization of the cell sorts).
+Writes <backend>_million.gif next to the script.
 """
 
 import os
@@ -22,14 +26,18 @@ from nbody_tpu.viewer import export_animation
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_048_576
 FRAMES = int(sys.argv[2]) if len(sys.argv) > 2 else 60
+BACKEND = sys.argv[3] if len(sys.argv) > 3 else "pm"
 
 scene = nb.make_galaxies(N, 2, seed=11037)
-world = nb.create_world(scene, config=SimConfig(pm_grid=1024),
-                        default_backend="pm")
-print(f"N={world.total_len} massive={world.mass_len} backend=pm grid=1024")
+grid = 1024 if BACKEND == "pm" else 512
+world = nb.create_world(
+    scene, config=SimConfig(pm_grid=grid, p3m_rebin_interval=8),
+    default_backend=BACKEND)
+print(f"N={world.total_len} massive={world.mass_len} "
+      f"backend={BACKEND} grid={grid}")
 
 t0 = time.perf_counter()
-out = os.path.join(os.path.dirname(__file__), "pm_million.gif")
+out = os.path.join(os.path.dirname(__file__), f"{BACKEND}_million.gif")
 export_animation(world, out, frames=FRAMES, steps_per_frame=4, dt=0.005,
                  width=640, height=360)
 dtv = time.perf_counter() - t0
