@@ -406,7 +406,7 @@ def p3m_acc(
 def p3m_bins(
     tgt_pos, tgt_radius, src_pos, src_gm, *,
     grid: int, rc_cells: int, exact_targets: int,
-    tgt_mask=None,
+    tgt_mask=None, big=None,
 ):
     """Freeze the P³M spatial structure for reuse across substeps: the
     adaptive box, both cell sort orders (sources heaviest-first, targets
@@ -431,8 +431,10 @@ def p3m_bins(
     order_s, _, _, counts_s = _cell_pack(src_pos, lo, inv_c, gc,
                                          priority=src_gm)
     order_t, cid_t, rank_t, counts_t = _cell_pack(tgt_pos, lo, inv_c, gc)
-    k = min(exact_targets, tgt_pos.shape[0])
-    _, big = jax.lax.top_k(tgt_radius, k)  # radius is constant in a run
+    if big is None:
+        # radius is constant in a run; loop callers precompute this once
+        k = min(exact_targets, tgt_pos.shape[0])
+        _, big = jax.lax.top_k(tgt_radius, k)
     return {
         "lo": lo, "h": h,
         "order_s": order_s, "counts_s": counts_s,

@@ -280,26 +280,34 @@ def update_state(
         _step, gm=gm, valid=valid, dt=dt,
         src_len=src_len, config=config, backend=backend, interpret=interpret,
     )
-    if backend == "p3m" and config.p3m_rebin_interval > 1:
-        # Verlet-list amortization: the cell sorts (the PP stage's dominant
-        # cost at large N) are recomputed every p3m_rebin_interval substeps
-        # and carried through the loop; every substep still reads positions
-        # fresh through the frozen orders (see ops/p3m_forces.p3m_bins).
+    if backend == "p3m":
+        # Always route through the bins loop: the exact-core row selection
+        # (top_k over the CONSTANT radius) hoists out of the substep loop,
+        # and p3m_rebin_interval > 1 adds the Verlet-list amortization —
+        # cell sorts recomputed every k substeps, every substep still
+        # reading positions fresh through the frozen orders
+        # (see ops/p3m_forces.p3m_bins).
         from .ops.p3m_forces import p3m_bins as _make_bins
 
         k = config.p3m_rebin_interval
+        kk = min(config.p3m_exact_targets, state.pos.shape[0])
+        _, big0 = jax.lax.top_k(state.radius, kk)
 
         def bins_of(st):
             return _make_bins(
                 st.pos, st.radius, st.pos[:src_len], gm[:src_len],
                 grid=config.pm_grid, rc_cells=config.p3m_rc_cells,
-                exact_targets=config.p3m_exact_targets, tgt_mask=valid)
+                exact_targets=config.p3m_exact_targets, tgt_mask=valid,
+                big=big0)
 
         def loop_body(i, carry):
             st, bins = carry
-            bins = jax.lax.cond(
-                i % k == 0, lambda op: bins_of(op[0]), lambda op: op[1],
-                (st, bins))
+            if k > 1:
+                bins = jax.lax.cond(
+                    i % k == 0, lambda op: bins_of(op[0]), lambda op: op[1],
+                    (st, bins))
+            else:
+                bins = bins_of(st)
             return body(st, p3m_bins=bins), bins
 
         st, _ = jax.lax.fori_loop(0, n, loop_body, (state, bins_of(state)))

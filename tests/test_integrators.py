@@ -114,3 +114,22 @@ def test_ring_backend_leapfrog_matches_jnp():
         np.asarray(swr.particles.pos), np.asarray(swj.particles.pos),
         rtol=3e-4, atol=3e-3,
     )
+
+
+def test_p3m_leapfrog_tracks_jnp():
+    """p3m + position-Verlet: the bins-loop (bins built at the pre-drift
+    positions, force at the midpoint — a half-substep-stale candidate set
+    at most) must track the exact jnp leapfrog trajectory."""
+    import nbody_tpu as nb
+
+    scene = nb.make_galaxies(800, 1, seed=6)
+    cfg = SimConfig(tile_targets=128, pm_grid=256, p3m_cell_capacity=32,
+                    integrator="leapfrog")
+    w_ref = nb.create_world(scene, config=cfg)
+    w_p3m = nb.create_world(scene, config=cfg)
+    w_ref.update(0.01, 16, backend="jnp")
+    w_p3m.update(0.01, 16, backend="p3m")
+    a = np.asarray(w_ref.particles.pos)
+    b = np.asarray(w_p3m.particles.pos)
+    scale = np.abs(a).max()
+    assert np.max(np.abs(a - b)) / scale < 5e-4
