@@ -312,60 +312,154 @@ def p3m_acc_collective(
     Returns masked-garbage rows for padding targets exactly like the
     single-device path — the caller multiplies by ``valid``.
     """
-    eps2 = jnp.asarray(softening, DTYPE) ** 2
-    # box under stop_gradient: discretization choice, and pmin/pmax have no
-    # differentiation rule (see pm_acc_collective)
+    bins = p3m_bins_collective(
+        tgt_pos, tgt_radius, src_gm_row, grid=grid, rc_cells=rc_cells,
+        cell_capacity=cell_capacity, exact_targets=exact_targets,
+        tgt_mask=tgt_mask, axis_name=axis_name, n_devices=n_devices)
+    return p3m_acc_collective_from_bins(
+        bins, tgt_pos, tgt_radius, src_gm_row, softening,
+        grid=grid, rc_cells=rc_cells, cell_capacity=cell_capacity,
+        exact_targets=exact_targets, precise=precise,
+        axis_name=axis_name, n_devices=n_devices)
+
+
+def p3m_bins_collective(
+    tgt_pos, tgt_radius, src_gm_row, *,
+    grid: int, rc_cells: int, cell_capacity: int, exact_targets: int,
+    tgt_mask=None, axis_name: str, n_devices: int,
+    big_bins=None,
+):
+    """Collective counterpart of :func:`p3m_bins`: freeze everything about
+    the P³M spatial structure that is position-stale-tolerant or
+    position-independent, per shard:
+
+    * the globally agreed box (pmin/pmax) and both local cell sort orders;
+    * the target count offsets of preceding devices (the global-rank drop
+      rule);
+    * the merged-panel selection: since gm never changes, the per-cell
+      ``top_k`` choosing the global heaviest-``cap`` sources — and the
+      merged gm panel itself — are frozen; only the (x, y) panels need
+      re-gathering and re-all-gathering each substep;
+    * the exact-core candidate rows (radius is constant): per-device
+      ``top_k`` indices, the global selection, radii, and each device's
+      owned output rows (pass ``big_bins`` to reuse them across rebins —
+      the sharded analogue of :func:`p3m_bins`'s ``big=``).
+    """
+    cap = cell_capacity
+    gc = max(grid // rc_cells, 1)
     sg_pos = jax.lax.stop_gradient(tgt_pos)
     all_min, all_max = _bounds(
         sg_pos, sg_pos, jax.lax.stop_gradient(src_gm_row), tgt_mask)
     all_min = jax.lax.pmin(all_min, axis_name)
     all_max = jax.lax.pmax(all_max, axis_name)
     lo, h = _box(all_min, all_max, grid)
+    cell = (grid * h) / gc
+    inv_c = 1.0 / cell
+
+    order_s, _, _, counts_s = _cell_pack(sg_pos, lo, inv_c, gc,
+                                         priority=src_gm_row)
+    order_t, cid_t, rank_t, counts_t = _cell_pack(sg_pos, lo, inv_c, gc)
+    bins = {
+        "lo": lo, "h": h,
+        "order_s": order_s, "counts_s": counts_s,
+        "order_t": order_t, "cid_t": cid_t, "rank_t": rank_t,
+        "counts_t": counts_t,
+    }
+
+    (sgm_local,) = _gather_blocks([(src_gm_row[order_s], 0.0)],
+                                  counts_s, gc, cap)
+    if n_devices > 1:
+        all_counts = jax.lax.all_gather(counts_t, axis_name)  # (D, gc²)
+        me = jax.lax.axis_index(axis_name)
+        before = jnp.arange(n_devices)[:, None] < me
+        bins["goff"] = jnp.where(before, all_counts, 0).sum(0)
+        sgm_all = jax.lax.all_gather(sgm_local, axis_name, axis=2,
+                                     tiled=True)
+        bins["sgm"], bins["sel"] = jax.lax.top_k(sgm_all, cap)
+    else:
+        bins["goff"] = jnp.zeros((gc * gc,), jnp.int32)
+        bins["sgm"] = sgm_local
+
+    if exact_targets:
+        if big_bins is not None:
+            bins.update(big_bins)
+        else:
+            bins.update(p3m_exact_core_bins_collective(
+                tgt_radius, exact_targets=exact_targets,
+                axis_name=axis_name, n_devices=n_devices))
+    return bins
+
+
+def p3m_exact_core_bins_collective(tgt_radius, *, exact_targets: int,
+                                   axis_name: str, n_devices: int):
+    """The position-independent exact-core selection (radius never changes
+    during a run): per-device candidate rows, the global top-k choice, its
+    radii, and the owned output rows. Compute once per update call and
+    thread into :func:`p3m_bins_collective` via ``big_bins``."""
+    n_loc = tgt_radius.shape[0]
+    k_loc = min(exact_targets, n_loc)
+    r_loc, i_loc = jax.lax.top_k(tgt_radius, k_loc)
+    cand_r = jax.lax.all_gather(r_loc, axis_name).reshape(-1)
+    cand_i = jax.lax.all_gather(i_loc, axis_name).reshape(-1)
+    k = min(exact_targets, n_devices * k_loc)
+    _, sel = jax.lax.top_k(cand_r, k)
+    me = jax.lax.axis_index(axis_name)
+    owner = sel // k_loc
+    return {
+        "big_i_loc": i_loc,
+        "big_sel": sel,
+        "big_radius": cand_r[sel],
+        "big_row": jnp.where(owner == me, cand_i[sel], n_loc),  # -> dropped
+    }
+
+
+def p3m_acc_collective_from_bins(
+    bins, tgt_pos, tgt_radius, src_gm_row, softening=2.0, *,
+    grid: int, rc_cells: int, cell_capacity: int, exact_targets: int,
+    precise: bool = False, axis_name: str, n_devices: int,
+):
+    """Sharded P³M with a frozen collective structure (see
+    :func:`p3m_bins_collective`). With fresh bins this equals
+    :func:`p3m_acc_collective`; with stale bins, positions are still read
+    fresh everywhere (mesh scatter, pair distances, exact-core rows) and
+    only the candidate windows / box lag — the sharded rebin path."""
+    eps2 = jnp.asarray(softening, DTYPE) ** 2
+    lo, h = bins["lo"], bins["h"]
     rc = rc_cells * h
+    gc = max(grid // rc_cells, 1)
+    cell = (grid * h) / gc
+    cap = cell_capacity
 
     rho = _cic_scatter(tgt_pos, src_gm_row, lo, 1.0 / h, grid)
     rho = jax.lax.psum(rho, axis_name)
     a_grid = _solve(rho, h, eps2, grid, rc=rc)
     acc = _cic_gather(a_grid, tgt_pos, lo, 1.0 / h, grid)
 
-    gc = max(grid // rc_cells, 1)
-    cell = (grid * h) / gc
-    cap = cell_capacity
-    sx, sy, sgm = _pack_source_blocks(
-        tgt_pos, src_gm_row, lo, 1.0 / cell, gc, cap)
+    # source (x, y) panels: fresh positions through the frozen order; the
+    # gm panel and the merge selection come frozen from the bins
+    ps = tgt_pos[bins["order_s"]]
+    sx, sy = _gather_blocks([(ps[:, 0], 0.0), (ps[:, 1], 0.0)],
+                            bins["counts_s"], gc, cap)
     if n_devices > 1:
-        # merge: (gc, gc, D*cap) panels, then keep the global heaviest cap
-        sx, sy, sgm = (
-            jax.lax.all_gather(b, axis_name, axis=2, tiled=True)
-            for b in (sx, sy, sgm))
-        sgm, sel = jax.lax.top_k(sgm, cap)
-        sx = jnp.take_along_axis(sx, sel, axis=-1)
-        sy = jnp.take_along_axis(sy, sel, axis=-1)
-    acc = acc + _pp_from_blocks(
-        tgt_pos, tgt_radius, (sx, sy, sgm), lo, 1.0 / cell, gc,
-        cap, rc, eps2, precise,
-        axis_name=axis_name if n_devices > 1 else None)
+        sx = jax.lax.all_gather(sx, axis_name, axis=2, tiled=True)
+        sy = jax.lax.all_gather(sy, axis_name, axis=2, tiled=True)
+        sx = jnp.take_along_axis(sx, bins["sel"], axis=-1)
+        sy = jnp.take_along_axis(sy, bins["sel"], axis=-1)
+    grank_t = bins["rank_t"] + bins["goff"][bins["cid_t"]]
+    acc = acc + _pp_apply(
+        tgt_pos, tgt_radius, (sx, sy, bins["sgm"]),
+        bins["order_t"], bins["cid_t"], bins["rank_t"], bins["counts_t"],
+        grank_t, gc, cap, rc, eps2, precise)
 
     if exact_targets:
         from .. import forces
 
-        n_loc = tgt_pos.shape[0]
-        k_loc = min(exact_targets, n_loc)
-        r_loc, i_loc = jax.lax.top_k(tgt_radius, k_loc)
-        cand_r = jax.lax.all_gather(r_loc, axis_name).reshape(-1)
-        cand_pos = jax.lax.all_gather(tgt_pos[i_loc], axis_name)
-        cand_i = jax.lax.all_gather(i_loc, axis_name).reshape(-1)
-        k = min(exact_targets, n_devices * k_loc)
-        _, sel = jax.lax.top_k(cand_r, k)
-        big_pos = cand_pos.reshape(-1, 2)[sel]
-        big_r = cand_r[sel]
-        partial = forces.pair_acc(big_pos, big_r, tgt_pos, src_gm_row,
-                                  precise=precise)
+        cand_pos = jax.lax.all_gather(tgt_pos[bins["big_i_loc"]], axis_name)
+        big_pos = cand_pos.reshape(-1, 2)[bins["big_sel"]]
+        partial = forces.pair_acc(big_pos, bins["big_radius"],
+                                  tgt_pos, src_gm_row, precise=precise)
         exact = jax.lax.psum(partial, axis_name)
-        me = jax.lax.axis_index(axis_name)
-        owner = sel // k_loc
-        row = jnp.where(owner == me, cand_i[sel], n_loc)  # n_loc -> dropped
-        acc = acc.at[row].set(exact, mode="drop")
+        acc = acc.at[bins["big_row"]].set(exact, mode="drop")
     return acc.astype(DTYPE)
 
 

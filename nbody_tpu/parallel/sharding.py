@@ -115,31 +115,95 @@ def _pm_force_shard(pos, radius, gm_row, valid, *, config: SimConfig):
     return acc * valid
 
 
-def _p3m_force_shard(pos, radius, gm_row, valid, *, config: SimConfig,
-                     n_devices: int):
-    """Masked acceleration via the collective P³M solve (psum'd tapered
-    mass grid + all-gathered/merged source cell blocks + psum'd exact-core
-    rows; see ops/p3m_forces.p3m_acc_collective). Same data layout as the
-    pm backend: each device's sources are its OWN resident rows weighted by
-    ``gm_row`` — no per-substep source reshard; all comm is fixed-size."""
-    from ..ops.p3m_forces import p3m_acc_collective
+def _grid_device_loop(pos, vel, acc, radius, gm_row, valid, dt, n, *,
+                      config: SimConfig, force_backend: str, d: int):
+    """Per-device body for the grid backends (pm / p3m): the WHOLE
+    n-substep loop runs inside one ``shard_map`` call (collectives inside
+    ``fori_loop`` are fine), which lets p3m carry its frozen collective
+    bins across substeps — enabling ``p3m_rebin_interval`` on meshes and
+    hoisting the position-independent exact-core selection out of the
+    loop. Integrators (Euler / position-Verlet) run per device."""
+    leap = config.integrator == "leapfrog"
 
-    acc = p3m_acc_collective(
-        pos, radius, gm_row, softening=config.pm_softening,
-        grid=config.pm_grid, rc_cells=config.p3m_rc_cells,
-        cell_capacity=config.p3m_cell_capacity,
-        exact_targets=config.p3m_exact_targets, precise=config.precise,
-        tgt_mask=valid, axis_name=AXIS, n_devices=n_devices)
-    return acc * valid
+    if force_backend == "pm":
+        def force(p):
+            return _pm_force_shard(p, radius, gm_row, valid, config=config)
 
+        def body(_, carry):
+            pos, vel, acc = carry
+            if leap:
+                pos_h = pos + (0.5 * dt) * vel
+                acc = force(pos_h)
+                vel = vel + dt * acc
+                pos = pos_h + (0.5 * dt) * vel
+            else:
+                acc = force(pos)
+                vel = vel + dt * acc
+                pos = pos + dt * vel
+            return pos, vel, acc
 
-def _grid_step_shard(pos, vel, radius, gm_row, valid, dt, *, force):
-    """Euler substep shared by the grid-based (pm / p3m) collective
-    backends: force on resident rows, then local integration."""
-    acc = force(pos, radius, gm_row, valid)
-    vel = vel + dt * acc
-    pos = pos + dt * vel
-    return pos, vel, acc
+        return jax.lax.fori_loop(0, n, body, (pos, vel, acc))
+
+    from ..ops.p3m_forces import (
+        p3m_acc_collective_from_bins, p3m_bins_collective,
+        p3m_exact_core_bins_collective)
+
+    kw = dict(grid=config.pm_grid, rc_cells=config.p3m_rc_cells,
+              cell_capacity=config.p3m_cell_capacity,
+              exact_targets=config.p3m_exact_targets,
+              axis_name=AXIS, n_devices=d)
+    big0 = (p3m_exact_core_bins_collective(
+        radius, exact_targets=config.p3m_exact_targets,
+        axis_name=AXIS, n_devices=d)
+        if config.p3m_exact_targets else None)
+
+    def bins_of(p):
+        return p3m_bins_collective(p, radius, gm_row, tgt_mask=valid,
+                                   big_bins=big0, **kw)
+
+    def force(bins, p):
+        return p3m_acc_collective_from_bins(
+            bins, p, radius, gm_row, softening=config.pm_softening,
+            precise=config.precise, **kw) * valid
+
+    k = config.p3m_rebin_interval
+
+    def substep(bins, carry):
+        pos, vel, acc = carry
+        if leap:
+            pos_h = pos + (0.5 * dt) * vel
+            acc = force(bins, pos_h)
+            vel = vel + dt * acc
+            pos = pos_h + (0.5 * dt) * vel
+        else:
+            acc = force(bins, pos)
+            vel = vel + dt * acc
+            pos = pos + dt * vel
+        return pos, vel, acc
+
+    if k == 1:
+        def body(_, carry):
+            pos, vel, acc = carry
+            return substep(bins_of(pos), (pos, vel, acc))
+
+        return jax.lax.fori_loop(0, n, body, (pos, vel, acc))
+
+    # Rebin chunks as a NESTED loop, never a lax.cond: a cond whose
+    # branches contain collectives deadlocks under shard_map (devices pair
+    # mismatched collective op_ids across the branches — observed as an
+    # XLA rendezvous termination on the CPU mesh). The outer loop
+    # recomputes bins unconditionally every k substeps; the inner loop
+    # reuses them. Trip counts are identical on every device.
+    n_chunks = (n + k - 1) // k
+
+    def chunk(c, carry):
+        pos, vel, acc = carry
+        bins = bins_of(pos)
+        m = jnp.minimum(k, n - c * k)
+        return jax.lax.fori_loop(
+            0, m, lambda _, cr: substep(bins, cr), (pos, vel, acc))
+
+    return jax.lax.fori_loop(0, n_chunks, chunk, (pos, vel, acc))
 
 
 def _ring_force_shard(
@@ -349,36 +413,45 @@ class ShardedWorld:
         if force_backend in ("pm", "p3m"):
             # pm/p3m: no per-substep source reshard (gm_src holds the
             # per-TARGET gm row, sharded like pos); all comm is fixed-size
-            # grid/cell-block collectives inside the force fn
-            if force_backend == "pm":
-                force = functools.partial(_pm_force_shard, config=config)
-            else:
-                if config.p3m_rebin_interval != 1:
-                    raise ValueError(
-                        "p3m_rebin_interval > 1 is single-device only: the "
-                        "collective path would need the frozen bins' global "
-                        "rank offsets carried across the mesh. Use the "
-                        "default (1) for sharded worlds.")
-                force = functools.partial(_p3m_force_shard, config=config,
-                                          n_devices=d)
-            step = functools.partial(_grid_step_shard, force=force)
-            smapped = jax.shard_map(
-                lambda pos, vel, radius, gm_row, valid, dt: step(
-                    pos, vel, radius, gm_row, valid, dt),
+            # grid/cell-block collectives. The WHOLE n-substep loop runs
+            # inside one shard_map call (_grid_device_loop), so p3m carries
+            # its frozen collective bins across substeps — the sharded
+            # p3m_rebin_interval path and the hoisted exact-core selection.
+            loop = functools.partial(
+                _grid_device_loop, config=config,
+                force_backend=force_backend, d=d)
+            smapped_loop = jax.shard_map(
+                lambda pos, vel, acc, radius, gm_row, valid, dt, n: loop(
+                    pos, vel, acc, radius, gm_row, valid, dt, n),
                 mesh=mesh,
-                in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS), P(AXIS),
-                          P(AXIS, None), P()),
+                in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None),
+                          P(AXIS), P(AXIS), P(AXIS, None), P(), P()),
                 out_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None)),
                 check_vma=False,
             )
-            smapped_force = jax.shard_map(
-                lambda pos, radius, gm_row, valid: force(
-                    pos, radius, gm_row, valid),
-                mesh=mesh,
-                in_specs=(P(AXIS, None), P(AXIS), P(AXIS), P(AXIS, None)),
-                out_specs=P(AXIS, None),
-                check_vma=False,
-            )
+
+            @functools.partial(jax.jit, static_argnames=("frames", "steps"),
+                               donate_argnums=(0, 1, 2))
+            def record_run(pos, vel, acc, radius, gm_src, valid, dt, *,
+                           frames, steps):
+                def frame_body(carry, _):
+                    pos, vel, acc = carry
+                    pos, vel, acc = smapped_loop(
+                        pos, vel, acc, radius, gm_src, valid, dt,
+                        jnp.int32(steps))
+                    return (pos, vel, acc), pos
+
+                return jax.lax.scan(frame_body, (pos, vel, acc), None,
+                                    length=frames)
+
+            self._record_fn = record_run
+
+            @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+            def update(pos, vel, acc, radius, gm_src, valid, dt, n):
+                return smapped_loop(pos, vel, acc, radius, gm_src, valid,
+                                    dt, n)
+
+            return update
         else:
             if force_backend == "pallas_ring":
                 step = functools.partial(
@@ -432,16 +505,11 @@ class ShardedWorld:
                     # kick + half-drift fused in-kernel (pos_dt=0.5)
                     return smapped(pos_h, vel, radius, gm_src,
                                    gather_src(pos_h), valid, dt)
-                if force_backend in ("pm", "p3m"):
-                    acc = smapped_force(pos_h, radius, gm_src, valid)
-                else:
-                    acc = smapped_force(pos_h, radius, gm_src,
-                                        gather_src(pos_h), valid)
+                acc = smapped_force(pos_h, radius, gm_src,
+                                    gather_src(pos_h), valid)
                 vel = vel + dt * acc
                 pos = pos_h + (0.5 * dt) * vel
                 return pos, vel, acc
-            if force_backend in ("pm", "p3m"):
-                return smapped(pos, vel, radius, gm_src, valid, dt)
             return smapped(pos, vel, radius, gm_src, gather_src(pos),
                            valid, dt)
 

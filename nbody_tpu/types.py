@@ -162,7 +162,8 @@ class SimConfig:
     # many substeps instead of every substep (1 = exact, the default).
     # Positions are always read fresh through the frozen orders; the error
     # is pairs that crossed the (taper-suppressed) rc boundary since the
-    # last rebin — bounded by the drift per k substeps. Single-device only.
+    # last rebin — bounded by the drift per k substeps. Works on sharded
+    # worlds too (the frozen collective bins ride the in-shard_map loop).
     p3m_rebin_interval: int = 1
 
     def __post_init__(self):

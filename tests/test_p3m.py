@@ -309,13 +309,33 @@ def test_rebin_interval_error_is_bounded():
                                   np.asarray(w4b.particles.pos))
 
 
-def test_rebin_rejected_for_sharded_p3m():
+def test_sharded_p3m_rebin_tracks_exact():
+    """Sharded p3m with p3m_rebin_interval > 1: the frozen collective bins
+    (orders, merge selection, count offsets, exact-core rows) are carried
+    across substeps inside one shard_map loop; the trajectory must track
+    the exact sharded run within the same drift bound as single-device."""
     from nbody_tpu.parallel.sharding import ShardedWorld, make_mesh
 
-    scene = nb.make_galaxies(256, 1, seed=3)
-    cfg = SimConfig(tile_targets=64, pm_grid=128, p3m_rebin_interval=2)
-    with pytest.raises(ValueError, match="single-device"):
-        ShardedWorld(scene, make_mesh(2), config=cfg, force_backend="p3m")
+    scene = nb.make_galaxies(768, 1, seed=3)
+    base = dict(tile_targets=64, pm_grid=128, p3m_cell_capacity=32)
+    sw1 = ShardedWorld(scene, make_mesh(4), config=SimConfig(**base),
+                       force_backend="p3m")
+    sw4 = ShardedWorld(scene, make_mesh(4),
+                       config=SimConfig(**base, p3m_rebin_interval=4),
+                       force_backend="p3m")
+    sw1.update(0.01, 12)
+    sw4.update(0.01, 12)
+    a = np.asarray(sw1.particles.pos)
+    b = np.asarray(sw4.particles.pos)
+    scale = np.abs(a).max()
+    assert np.max(np.abs(a - b)) / scale < 2e-4
+    # and the sharded rebin run still matches the SINGLE-DEVICE rebin run
+    w4 = nb.create_world(scene, config=SimConfig(**base,
+                                                 p3m_rebin_interval=4),
+                         default_backend="p3m")
+    w4.update(0.01, 12)
+    c = np.asarray(w4.particles.pos)
+    np.testing.assert_allclose(b / scale, c / scale, atol=2e-6)
 
 
 def test_pp_pallas_kernel_matches_jnp_path():
