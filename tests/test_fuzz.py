@@ -73,3 +73,29 @@ def test_tiny_n_on_many_devices():
     host = sw.particles
     assert host.pos.shape == (10, 2)
     assert np.all(np.isfinite(np.asarray(host.pos)))
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_random_sharded_p3m_matches_single(seed):
+    """Collective p3m claims EXACT single-device parity (same capacity
+    semantics, fp32 order only) for arbitrary worlds — fuzz it, including
+    the rebin chunk loop, overflowing cells, and mostly-massless draws."""
+    rng = np.random.default_rng(200 + seed)
+    n = int(rng.integers(16, 300))
+    d = int(rng.choice([2, 4, 8]))
+    rebin = int(rng.choice([1, 3]))
+    p = random_particles(rng, n)
+    dt = float(rng.uniform(0.001, 0.03))
+    cfg = SimConfig(tile_targets=64, pm_grid=64, p3m_cell_capacity=8,
+                    p3m_exact_targets=4, p3m_rebin_interval=rebin)
+
+    w = create_world(p, config=cfg, default_backend="p3m")
+    sw = ShardedWorld(p, make_mesh(d), config=cfg, force_backend="p3m")
+    w.update(dt, 4)
+    sw.update(dt, 4)
+    a = np.asarray(w.particles.pos)
+    b = np.asarray(sw.particles.pos)
+    assert np.all(np.isfinite(b)), f"seed {seed}"
+    scale = max(1.0, np.abs(a).max())
+    assert np.abs(a - b).max() / scale < 5e-6, (
+        f"sharded p3m diverged at seed {seed} (D={d}, rebin={rebin})")
