@@ -242,6 +242,9 @@ def rollout_sharded(
     n = pos.shape[0]
     d = mesh.devices.size
     n_pad = round_up(n, 8 * d)
+    if n_pad // d > chunk:
+        # the jnp ring's chunked direct sum requires chunk | n_loc
+        n_pad = round_up(n_pad, chunk * d)
     fn = _sharded_rollout_fn(
         mesh, n, n_pad, mass_len, n_steps, backend, precise, remat, g,
         pm_grid, pm_softening, p3m_rc_cells, p3m_cell_capacity,

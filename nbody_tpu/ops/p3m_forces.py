@@ -151,61 +151,34 @@ def _pp_correction(tgt_pos, tgt_radius, src_pos, src_gm, lo, inv_c, gc,
 
 
 def _pp_from_blocks(tgt_pos, tgt_radius, src_blocks, lo, inv_c, gc,
-                    cap_t, rc, eps2, precise, axis_name=None):
+                    cap_t, rc, eps2, precise):
     """PP correction of ``tgt_pos`` against pre-packed (gc, gc, cap_s)
-    source cell blocks (the collective path all-gathers + merges these
-    across the mesh before calling).
-
-    ``axis_name``: set when called per-shard under ``shard_map`` with
-    contiguously index-sharded targets. Target-overflow semantics ("rank >=
-    cap_t in the cell -> mesh-only accuracy") must then use each target's
-    GLOBAL cell rank — local rank plus the cell's target count on all
-    preceding devices (contiguous sharding preserves global row order), so
-    exactly the same rows degrade as on one device. Costs one all-gather of
-    the (gc²,) count vector."""
+    source cell blocks, packing the targets itself (single-device path;
+    the collective path computes the target assignment — including the
+    cross-device global-rank offsets — in ``p3m_bins_collective`` and
+    calls :func:`_pp_apply` directly)."""
     order_t, cid_t, rank_t, counts_t = _cell_pack(tgt_pos, lo, inv_c, gc)
-    grank_t = rank_t
-    if axis_name is not None:
-        all_counts = jax.lax.all_gather(counts_t, axis_name)  # (D, gc²)
-        me = jax.lax.axis_index(axis_name)
-        before = jnp.arange(all_counts.shape[0])[:, None] < me
-        grank_t = rank_t + jnp.where(before, all_counts, 0).sum(0)[cid_t]
     return _pp_apply(tgt_pos, tgt_radius, src_blocks,
-                     order_t, cid_t, rank_t, counts_t, grank_t,
+                     order_t, cid_t, rank_t, counts_t, rank_t,
                      gc, cap_t, rc, eps2, precise)
 
 
 def _pp_apply(tgt_pos, tgt_radius, src_blocks, order_t, cid_t, rank_t,
-              counts_t, grank_t, gc, cap_t, rc, eps2, precise,
-              use_kernel=None):
+              counts_t, grank_t, gc, cap_t, rc, eps2, precise):
     """PP correction given pre-packed source blocks AND a pre-computed
     target cell assignment (order/cid/rank/counts). Positions are always
     read fresh through the (possibly frozen — see ``p3m_bins``) orders.
 
-    ``use_kernel``: route the pair block evaluation through the fused
-    Pallas kernel (ops/p3m_pallas.py) instead of the XLA neighbors+map
-    formulation. Default OFF everywhere: isolated on-chip measurement at
-    N=1M puts the kernel at 30 ms vs 17 ms for XLA's fused map — the same
-    broadcast-materialization tax that keeps the direct-sum kernel behind
-    XLA (docs/DESIGN.md §3), and the per-cell dynamic-slice loop adds its
-    own overhead. Kept as a tested, documented ablation (the pack/unpack
-    bookkeeping, not the pair compute, dominates the PP stage)."""
-    if use_kernel is None:
-        use_kernel = False
+    The pair blocks run through XLA's fused map — a hand-written Pallas
+    alternative exists (ops/p3m_pallas.py) but measured 30 ms vs 17 ms at
+    N=1M (the §3 broadcast-materialization tax plus per-cell dynamic-slice
+    overhead) and ships as a tested ablation only."""
     sx, sy, sgm = src_blocks
     row = jnp.concatenate([tgt_pos, tgt_radius[:, None]],
                           axis=-1)[order_t]
     tx, ty, trad = _gather_blocks(
         [(row[:, 0], 0.0), (row[:, 1], 0.0), (row[:, 2], 1.0)],
         counts_t, gc, cap_t)
-
-    if use_kernel:
-        from .p3m_pallas import pp_blocks
-
-        corr_blocks = pp_blocks(tx, ty, trad, sx, sy, sgm, rc, eps2,
-                                precise=precise)
-        return _pp_unpack(corr_blocks, tgt_pos.shape[0], order_t, cid_t,
-                          rank_t, grank_t, cap_t)
 
     # -- zero-pad a one-cell ring (out-of-range neighbors read gm = 0 rows)
     #    and concatenate the 9 shifted neighbor views along the capacity
@@ -255,6 +228,15 @@ def _pp_apply(tgt_pos, tgt_radius, src_blocks, order_t, cid_t, rank_t,
     ).reshape(gc * gc, cap_t, 2)
     return _pp_unpack(corr_blocks, tgt_pos.shape[0], order_t, cid_t,
                       rank_t, grank_t, cap_t)
+
+
+def _masked_radius(tgt_radius, tgt_mask):
+    """Exact-core selection key: padding rows (mask 0) rank -inf so they
+    never occupy exact-target slots that real particles could use."""
+    if tgt_mask is None:
+        return tgt_radius
+    real = jnp.reshape(tgt_mask, (-1,)) != 0.0
+    return jnp.where(real, tgt_radius, -jnp.inf)
 
 
 def _pp_unpack(corr_blocks, n, order_t, cid_t, rank_t, grank_t, cap_t):
@@ -386,23 +368,29 @@ def p3m_bins_collective(
         else:
             bins.update(p3m_exact_core_bins_collective(
                 tgt_radius, exact_targets=exact_targets,
-                axis_name=axis_name, n_devices=n_devices))
+                axis_name=axis_name, n_devices=n_devices,
+                tgt_mask=tgt_mask))
     return bins
 
 
 def p3m_exact_core_bins_collective(tgt_radius, *, exact_targets: int,
-                                   axis_name: str, n_devices: int):
+                                   axis_name: str, n_devices: int,
+                                   tgt_mask=None):
     """The position-independent exact-core selection (radius never changes
     during a run): per-device candidate rows, the global top-k choice, its
     radii, and the owned output rows. Compute once per update call and
-    thread into :func:`p3m_bins_collective` via ``big_bins``."""
+    thread into :func:`p3m_bins_collective` via ``big_bins``. ``tgt_mask``
+    keeps padding rows out of the selection (they rank -inf)."""
     n_loc = tgt_radius.shape[0]
     k_loc = min(exact_targets, n_loc)
-    r_loc, i_loc = jax.lax.top_k(tgt_radius, k_loc)
-    cand_r = jax.lax.all_gather(r_loc, axis_name).reshape(-1)
+    key_loc, i_loc = jax.lax.top_k(_masked_radius(tgt_radius, tgt_mask),
+                                   k_loc)
+    cand_key = jax.lax.all_gather(key_loc, axis_name).reshape(-1)
+    # true radii for the force softening (the -inf key is selection-only)
+    cand_r = jax.lax.all_gather(tgt_radius[i_loc], axis_name).reshape(-1)
     cand_i = jax.lax.all_gather(i_loc, axis_name).reshape(-1)
     k = min(exact_targets, n_devices * k_loc)
-    _, sel = jax.lax.top_k(cand_r, k)
+    _, sel = jax.lax.top_k(cand_key, k)
     me = jax.lax.axis_index(axis_name)
     owner = sel // k_loc
     return {
@@ -526,9 +514,12 @@ def p3m_bins(
                                          priority=src_gm)
     order_t, cid_t, rank_t, counts_t = _cell_pack(tgt_pos, lo, inv_c, gc)
     if big is None:
-        # radius is constant in a run; loop callers precompute this once
+        # radius is constant in a run; loop callers precompute this once.
+        # The selection KEY masks padding rows to -inf so they never
+        # displace real low-radius targets from exact treatment; the
+        # forces themselves always use the true radii.
         k = min(exact_targets, tgt_pos.shape[0])
-        _, big = jax.lax.top_k(tgt_radius, k)
+        _, big = jax.lax.top_k(_masked_radius(tgt_radius, tgt_mask), k)
     return {
         "lo": lo, "h": h,
         "order_s": order_s, "counts_s": counts_s,

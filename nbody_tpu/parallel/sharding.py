@@ -154,7 +154,7 @@ def _grid_device_loop(pos, vel, acc, radius, gm_row, valid, dt, n, *,
               axis_name=AXIS, n_devices=d)
     big0 = (p3m_exact_core_bins_collective(
         radius, exact_targets=config.p3m_exact_targets,
-        axis_name=AXIS, n_devices=d)
+        axis_name=AXIS, n_devices=d, tgt_mask=valid)
         if config.p3m_exact_targets else None)
 
     def bins_of(p):

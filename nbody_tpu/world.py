@@ -289,9 +289,13 @@ def update_state(
         # (see ops/p3m_forces.p3m_bins).
         from .ops.p3m_forces import p3m_bins as _make_bins
 
+        from .ops.p3m_forces import _masked_radius
+
         k = config.p3m_rebin_interval
         kk = min(config.p3m_exact_targets, state.pos.shape[0])
-        _, big0 = jax.lax.top_k(state.radius, kk)
+        # selection key masks padding rows (-inf) so they never displace
+        # real low-radius targets from exact treatment
+        _, big0 = jax.lax.top_k(_masked_radius(state.radius, valid), kk)
 
         def bins_of(st):
             return _make_bins(
@@ -302,12 +306,12 @@ def update_state(
 
         def loop_body(i, carry):
             st, bins = carry
-            if k > 1:
-                bins = jax.lax.cond(
-                    i % k == 0, lambda op: bins_of(op[0]), lambda op: op[1],
-                    (st, bins))
-            else:
-                bins = bins_of(st)
+            # i=0 reuses the init bins (built from the same state) — the
+            # rebuild is gated to i>0 so no bin construction is wasted
+            rebuild = (i % k == 0) & (i > 0) if k > 1 else i > 0
+            bins = jax.lax.cond(
+                rebuild, lambda op: bins_of(op[0]), lambda op: op[1],
+                (st, bins))
             return body(st, p3m_bins=bins), bins
 
         st, _ = jax.lax.fori_loop(0, n, loop_body, (state, bins_of(state)))

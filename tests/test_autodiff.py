@@ -165,3 +165,26 @@ def test_sharded_rollout_matches_single_device():
         g_1 = np.asarray(jax.grad(loss_1)(pos))
         rel = np.abs(g_s - g_1).max() / np.abs(g_1).max()
         assert rel < tol, f"{backend}: grad rel err {rel:.2e}"
+
+
+def test_sharded_rollout_nonaligned_large_shard():
+    """Regression: shard sizes above `chunk` that are not chunk-multiples
+    must pad up (n=1300 on 2 devices gave n_loc=652 and crashed the jnp
+    ring's chunked direct sum before the round-3 fix)."""
+    import nbody_tpu as nb
+    from nbody_tpu.autodiff import rollout_sharded
+    from nbody_tpu.parallel.sharding import make_mesh
+
+    scene = nb.make_galaxies(1300, 1, seed=8)
+    w = nb.create_world(scene)
+    h = w.particles
+    pos, vel = jnp.asarray(h.pos), jnp.asarray(h.vel)
+    mass, radius = jnp.asarray(h.mass), jnp.asarray(h.radius)
+
+    ps, _ = rollout_sharded(pos, vel, mass, radius, 0.01, n_steps=3,
+                            mass_len=w.mass_len, mesh=make_mesh(2))
+    p1, _ = rollout(pos, vel, mass, radius, jnp.float32(0.01), n_steps=3,
+                    mass_len=w.mass_len)
+    scale = np.abs(np.asarray(p1)).max()
+    np.testing.assert_allclose(np.asarray(ps) / scale,
+                               np.asarray(p1) / scale, atol=1e-6)
