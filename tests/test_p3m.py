@@ -405,3 +405,23 @@ def test_config_validation():
         SimConfig(p3m_exact_targets=-1)
     with pytest.raises(ValueError, match="p3m_rebin_interval"):
         SimConfig(p3m_rebin_interval=0)
+
+
+def test_gather_blocks_equals_scatter_blocks():
+    """The production gather-built cell blocks must equal the legacy
+    scatter form (_to_blocks) for random occupancy including overflow."""
+    from nbody_tpu.ops.p3m_forces import _gather_blocks, _to_blocks
+
+    rng = np.random.default_rng(0)
+    gc, cap, n = 4, 3, 50
+    cid = np.sort(rng.integers(0, gc * gc, n)).astype(np.int32)
+    counts = np.bincount(cid, minlength=gc * gc).astype(np.int32)
+    starts = np.cumsum(counts) - counts
+    rank = (np.arange(n) - starts[cid]).astype(np.int32)
+    vals = rng.normal(size=n).astype(np.float32)
+
+    legacy = np.asarray(_to_blocks(jnp.asarray(vals), jnp.asarray(cid),
+                                   jnp.asarray(rank), gc, cap, fill=7.0))
+    (got,) = _gather_blocks([(jnp.asarray(vals), 7.0)],
+                            jnp.asarray(counts), gc, cap)
+    np.testing.assert_array_equal(np.asarray(got), legacy)
