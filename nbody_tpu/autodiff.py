@@ -27,7 +27,8 @@ from .types import G, Particles
 @functools.partial(
     jax.jit,
     static_argnames=("n_steps", "mass_len", "precise", "remat", "g", "backend",
-                     "pm_grid"),
+                     "pm_grid", "p3m_rc_cells", "p3m_cell_capacity",
+                     "p3m_exact_targets", "p3m_rebin_interval"),
 )
 def rollout(
     pos: jax.Array,
@@ -44,6 +45,10 @@ def rollout(
     backend: str = "jnp",
     pm_grid: int = 512,
     pm_softening: float = 2.0,
+    p3m_rc_cells: int = 4,
+    p3m_cell_capacity: int = 96,
+    p3m_exact_targets: int = 64,
+    p3m_rebin_interval: int = 1,
 ):
     """Differentiable n_steps-substep rollout. Inputs must be in
     massive-first order (sources = rows [0, mass_len)). Returns final
@@ -90,15 +95,50 @@ def rollout(
     elif backend == "p3m":
         # accurate-at-all-ranges O(N) solver; scatter/gather/FFT/sort are
         # all natively differentiable (sort/top_k indices are integer
-        # outputs — gradients flow through the gathers they index)
-        from .ops.p3m_forces import p3m_acc
+        # outputs — gradients flow through the gathers they index).
+        # Routed through the frozen-bins structure like world.update_state:
+        # the constant exact-core top_k hoists out of the loop, and
+        # ``p3m_rebin_interval`` > 1 amortizes the spatial bookkeeping
+        # (cell sorts, box) over k substeps — positions are always read
+        # fresh through the frozen orders, so pair math stays exact and
+        # gradients flow through the same gathers.
+        from .ops.p3m_forces import p3m_acc_from_bins, p3m_bins
 
         gm = gm_full[:mass_len]
+        k_rebin = max(p3m_rebin_interval, 1)
+        _, big0 = jax.lax.top_k(radius, min(p3m_exact_targets, n))
 
-        def force(p):
-            return p3m_acc(p, radius, p[:mass_len], gm,
-                           softening=pm_softening, grid=pm_grid,
-                           precise=precise)
+        def make_bins(p):
+            return p3m_bins(
+                p, radius, p[:mass_len], gm, grid=pm_grid,
+                rc_cells=p3m_rc_cells, exact_targets=p3m_exact_targets,
+                big=big0)
+
+        def one_step(p, v, bins):
+            acc = p3m_acc_from_bins(
+                bins, p, radius, p[:mass_len], gm, softening=pm_softening,
+                grid=pm_grid, rc_cells=p3m_rc_cells,
+                cell_capacity=p3m_cell_capacity, precise=precise)
+            v = v + dt * acc
+            p = p + dt * v
+            return p, v
+
+        def make_block(steps):
+            def block(carry, _):
+                p, v = carry
+                bins = make_bins(p)
+                for _ in range(steps):
+                    p, v = one_step(p, v, bins)
+                return (p, v), None
+
+            return jax.checkpoint(block) if remat else block
+
+        carry, _ = jax.lax.scan(make_block(k_rebin), (pos, vel), None,
+                                length=n_steps // k_rebin)
+        rem = n_steps % k_rebin
+        if rem:
+            carry, _ = make_block(rem)(carry, None)
+        return carry
 
     else:
         gm = gm_full[:mass_len]

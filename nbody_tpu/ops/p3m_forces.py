@@ -59,9 +59,10 @@ from .pm_forces import _bounds, _box, _cic_gather, _cic_scatter, _solve
 
 
 def _taper(d2, rc):
-    """Smootherstep 6u⁵-15u⁴+10u³ of u = d/rc, clipped to [0, 1]. The tiny
-    bias keeps reverse-mode AD finite at d2 = 0 (sqrt'(0) = inf would meet
-    the 0-valued polynomial derivative as 0·inf = NaN)."""
+    """Smootherstep 6u⁵-15u⁴+10u³ of u = d/rc, clamped above at 1 (u >= 0
+    holds by construction: sqrt is non-negative). The tiny bias keeps
+    reverse-mode AD finite at d2 = 0 (sqrt'(0) = inf would meet the 0-valued
+    polynomial derivative as 0·inf = NaN)."""
     u = jnp.minimum(jnp.sqrt(d2 + 1e-12) / rc, 1.0)
     return u * u * u * (10.0 + u * (6.0 * u - 15.0))
 
@@ -174,10 +175,10 @@ def _pp_apply(tgt_pos, tgt_radius, src_blocks, order_t, cid_t, rank_t,
     N=1M (the §3 broadcast-materialization tax plus per-cell dynamic-slice
     overhead) and ships as a tested ablation only."""
     sx, sy, sgm = src_blocks
-    row = jnp.concatenate([tgt_pos, tgt_radius[:, None]],
-                          axis=-1)[order_t]
+    trow = jnp.concatenate([tgt_pos, tgt_radius[:, None]],
+                           axis=-1)[order_t]
     tx, ty, trad = _gather_blocks(
-        [(row[:, 0], 0.0), (row[:, 1], 0.0), (row[:, 2], 1.0)],
+        [(trow[:, 0], 0.0), (trow[:, 1], 0.0), (trow[:, 2], 1.0)],
         counts_t, gc, cap_t)
 
     # -- zero-pad a one-cell ring (out-of-range neighbors read gm = 0 rows)

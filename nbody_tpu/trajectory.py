@@ -39,14 +39,37 @@ def record_states(
 ):
     """Run frames*steps_per_frame substeps; return (final_state, pos_frames)
     where pos_frames has shape (frames, N_pad, 2)."""
+    body = functools.partial(
+        _step, gm=gm, valid=valid, dt=dt,
+        src_len=src_len, config=config, backend=backend, interpret=None,
+    )
+
+    if backend == "p3m":
+        # Same frozen-bins loop as world.update_state (shared helpers): the
+        # constant exact-core top_k hoists out of the capture entirely, and
+        # the spatial bookkeeping rebuilds every p3m_rebin_interval substeps
+        # GLOBALLY (bins carried across frames, rebuild gated on the global
+        # substep index) rather than per frame.
+        from .world import p3m_bins_builder, p3m_substep_loop
+
+        bins_of = p3m_bins_builder(state, gm, valid, src_len=src_len,
+                                   config=config)
+        k = config.p3m_rebin_interval
+
+        def frame_body(carry, f):
+            st, bins = carry
+            st, bins = p3m_substep_loop(
+                st, bins, f * steps_per_frame, steps_per_frame, body,
+                bins_of, k)
+            return (st, bins), st.pos
+
+        (st, _), traj = jax.lax.scan(
+            frame_body, (state, bins_of(state)),
+            jnp.arange(frames, dtype=jnp.int32))
+        return st, traj
 
     def frame_body(st, _):
-        def sub(_, s):
-            return _step(
-                s, gm, valid, dt,
-                src_len=src_len, config=config, backend=backend, interpret=None,
-            )
-        st = jax.lax.fori_loop(0, steps_per_frame, sub, st)
+        st = jax.lax.fori_loop(0, steps_per_frame, lambda _, s: body(s), st)
         return st, st.pos
 
     return jax.lax.scan(frame_body, state, None, length=frames)

@@ -256,6 +256,51 @@ def effective_src_len(backend: Backend, src_len: int, mass_len: int) -> int:
     return src_len
 
 
+def p3m_bins_builder(state: Particles, gm, valid, *, src_len: int,
+                     config: SimConfig):
+    """Constructor for the frozen P³M spatial structure with the
+    position-independent exact-core selection hoisted (top_k over the
+    CONSTANT radius runs once, not per rebuild). Shared by
+    :func:`update_state` and trajectory capture (``trajectory.record_states``)
+    so both honor ``p3m_rebin_interval`` identically."""
+    from .ops.p3m_forces import _masked_radius
+    from .ops.p3m_forces import p3m_bins as _make_bins
+
+    kk = min(config.p3m_exact_targets, state.pos.shape[0])
+    # selection key masks padding rows (-inf) so they never displace
+    # real low-radius targets from exact treatment
+    _, big0 = jax.lax.top_k(_masked_radius(state.radius, valid), kk)
+
+    def bins_of(st):
+        return _make_bins(
+            st.pos, st.radius, st.pos[:src_len], gm[:src_len],
+            grid=config.pm_grid, rc_cells=config.p3m_rc_cells,
+            exact_targets=config.p3m_exact_targets, tgt_mask=valid,
+            big=big0)
+
+    return bins_of
+
+
+def p3m_substep_loop(state: Particles, bins, start, n, body, bins_of,
+                     k: int):
+    """Run ``n`` substeps with the frozen-bins Verlet amortization, starting
+    at global substep index ``start`` (bins rebuild when the global index
+    crosses a multiple of ``k``; index 0 reuses the caller's freshly built
+    bins so no construction is wasted). Returns (state, bins) so a capture
+    loop can carry the structure across frames."""
+
+    def loop_body(j, carry):
+        st, bins = carry
+        i = start + j
+        rebuild = (i % k == 0) & (i > 0) if k > 1 else i > 0
+        bins = jax.lax.cond(
+            rebuild, lambda op: bins_of(op[0]), lambda op: op[1],
+            (st, bins))
+        return body(st, p3m_bins=bins), bins
+
+    return jax.lax.fori_loop(0, n, loop_body, (state, bins))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("src_len", "config", "backend", "interpret"),
@@ -287,34 +332,10 @@ def update_state(
         # cell sorts recomputed every k substeps, every substep still
         # reading positions fresh through the frozen orders
         # (see ops/p3m_forces.p3m_bins).
-        from .ops.p3m_forces import p3m_bins as _make_bins
-
-        from .ops.p3m_forces import _masked_radius
-
-        k = config.p3m_rebin_interval
-        kk = min(config.p3m_exact_targets, state.pos.shape[0])
-        # selection key masks padding rows (-inf) so they never displace
-        # real low-radius targets from exact treatment
-        _, big0 = jax.lax.top_k(_masked_radius(state.radius, valid), kk)
-
-        def bins_of(st):
-            return _make_bins(
-                st.pos, st.radius, st.pos[:src_len], gm[:src_len],
-                grid=config.pm_grid, rc_cells=config.p3m_rc_cells,
-                exact_targets=config.p3m_exact_targets, tgt_mask=valid,
-                big=big0)
-
-        def loop_body(i, carry):
-            st, bins = carry
-            # i=0 reuses the init bins (built from the same state) — the
-            # rebuild is gated to i>0 so no bin construction is wasted
-            rebuild = (i % k == 0) & (i > 0) if k > 1 else i > 0
-            bins = jax.lax.cond(
-                rebuild, lambda op: bins_of(op[0]), lambda op: op[1],
-                (st, bins))
-            return body(st, p3m_bins=bins), bins
-
-        st, _ = jax.lax.fori_loop(0, n, loop_body, (state, bins_of(state)))
+        bins_of = p3m_bins_builder(state, gm, valid, src_len=src_len,
+                                   config=config)
+        st, _ = p3m_substep_loop(state, bins_of(state), 0, n, body, bins_of,
+                                 config.p3m_rebin_interval)
         return st
     return jax.lax.fori_loop(0, n, lambda _, st: body(st), state)
 

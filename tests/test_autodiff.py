@@ -188,3 +188,49 @@ def test_sharded_rollout_nonaligned_large_shard():
     scale = np.abs(np.asarray(p1)).max()
     np.testing.assert_allclose(np.asarray(ps) / scale,
                                np.asarray(p1) / scale, atol=1e-6)
+
+
+def test_p3m_rollout_rebin_value_and_grad_parity():
+    """rollout(backend='p3m') honors p3m_rebin_interval (round-2 VERDICT
+    next #8): the frozen-bins scan must track the rebuild-every-step form in
+    value AND gradient (only the neighbor candidate windows lag, bounded by
+    the taper), with non-default p3m tuning threaded through (advisor
+    finding: rollout previously hardcoded the defaults)."""
+    import nbody_tpu as nb
+
+    scene = nb.make_galaxies(700, 1, seed=6)
+    w = nb.create_world(scene)
+    h = w.particles
+    pos, vel = jnp.asarray(h.pos), jnp.asarray(h.vel)
+    mass, radius = jnp.asarray(h.mass), jnp.asarray(h.radius)
+    kw = dict(n_steps=12, mass_len=w.mass_len, pm_grid=128,
+              p3m_cell_capacity=32, p3m_exact_targets=16, precise=False)
+
+    def loss(p0, rebin):
+        p, v = rollout(p0, vel, mass, radius, jnp.float32(0.01),
+                       backend="p3m", p3m_rebin_interval=rebin, **kw)
+        return jnp.sum(p * p) * 1e-6
+
+    v1, g1 = jax.value_and_grad(lambda p: loss(p, 1))(pos)
+    v4, g4 = jax.value_and_grad(lambda p: loss(p, 4))(pos)
+    np.testing.assert_allclose(float(v4), float(v1), rtol=1e-4)
+    g1, g4 = np.asarray(g1), np.asarray(g4)
+    scale = np.abs(g1).max()
+    # worst element: a particle whose neighbor window lagged across the
+    # (taper-suppressed) rc boundary; bulk must be far tighter
+    np.testing.assert_allclose(g4 / scale, g1 / scale, atol=6e-3)
+    assert np.percentile(np.abs(g4 - g1) / scale, 99) < 1e-3
+
+    # rebin=1 must be the exact (rebuild-every-step) behavior: bit-identical
+    # forward value to the world backend run with the same tuning
+    p1, _ = rollout(pos, vel, mass, radius, jnp.float32(0.01),
+                    backend="p3m", p3m_rebin_interval=1, **kw)
+    cfg = SimConfig(pm_grid=128, p3m_cell_capacity=32, p3m_exact_targets=16)
+    w2 = create_world(make_particles(np.asarray(h.pos), vel=np.asarray(h.vel),
+                                     mass=np.asarray(h.mass),
+                                     radius=np.asarray(h.radius)),
+                      config=cfg)
+    w2.update(0.01, 12, backend="p3m")
+    ref = np.asarray(w2.particles.pos)
+    s = np.abs(ref).max()
+    np.testing.assert_allclose(np.asarray(p1) / s, ref / s, atol=1e-6)
