@@ -17,3 +17,8 @@ oracle:
 clean:
 	$(MAKE) -C cpp clean
 	find . -name __pycache__ -type d -exec rm -rf {} + 2>/dev/null || true
+
+# Real-hardware verification artifact (see scripts/tpu_smoke.sh); pass
+# OUT=TPU_TESTS_r03.txt to name the per-round artifact.
+tpu-smoke:
+	bash scripts/tpu_smoke.sh $(OUT)

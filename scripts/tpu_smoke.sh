@@ -1,0 +1,52 @@
+#!/bin/bash
+# Real-hardware verification artifact (round-2 VERDICT next #4): a curated
+# NBODY_TPU_TESTS=1 subset sized to finish < 5 min over the device tunnel,
+# wrapped in the wedge-phase retry protocol (.claude/skills/verify/SKILL.md:
+# fresh compiles can hang for minutes; one attempt usually succeeds within a
+# few tries). Covers: compiled-kernel parity (fused + streaming + golden
+# trajectory), pm/p3m error envelopes vs the exact sum, and 1k-substep
+# invariants. Output is committed per round as TPU_TESTS_r{N}.txt so the
+# claim "the suite passes on real hardware" is re-verifiable, not historical.
+#
+# Usage: bash scripts/tpu_smoke.sh [output-file]
+set -u
+cd "$(dirname "$0")/.."
+OUT="${1:-TPU_TESTS_smoke.txt}"
+TESTS=(
+  "tests/test_forces.py::test_golden_two_body"
+  "tests/test_forces.py::test_fused_kernel_tile_halving_and_short_sources"
+  "tests/test_forces.py::test_fused_kernel_streaming_boundary"
+  "tests/test_world.py::test_backend_parity_jnp_vs_pallas"
+  "tests/test_world.py::test_pallas_fused_backend_parity"
+  "tests/test_world.py::test_backend_switching_is_seamless"
+  "tests/test_golden.py::test_golden_trajectory_reproduced"
+  "tests/test_pm.py::test_galaxy_scene_error_envelope"
+  "tests/test_pm.py::test_two_body_far_field_exact"
+  "tests/test_p3m.py::test_error_envelope_and_beats_pm"
+  "tests/test_p3m.py::test_close_pair_is_reference_exact"
+  "tests/test_p3m.py::test_bins_path_matches_p3m_acc_exactly"
+  "tests/test_invariants.py::test_momentum_conserved"
+  "tests/test_invariants.py::test_long_horizon_nan_free"
+  "tests/test_trajectory.py::test_p3m_capture_matches_update_and_honors_rebin"
+)
+for attempt in 1 2 3; do
+  echo "=== tpu-smoke attempt $attempt $(date -u +%FT%TZ) ===" | tee -a "$OUT.tmp"
+  if timeout 500 env NBODY_TPU_TESTS=1 JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache \
+      python -m pytest "${TESTS[@]}" -q 2>&1 | tee -a "$OUT.tmp"; then
+    status=0
+    break
+  fi
+  status=1
+  echo "--- attempt $attempt failed/wedged; retrying ---" | tee -a "$OUT.tmp"
+done
+{
+  echo "# Real-TPU smoke verification ($(date -u +%FT%TZ))"
+  echo "# device: $(python - <<'PY' 2>/dev/null
+import jax; print(jax.devices())
+PY
+)"
+  echo "# command: NBODY_TPU_TESTS=1 pytest <curated subset> (scripts/tpu_smoke.sh)"
+  cat "$OUT.tmp"
+} > "$OUT"
+rm -f "$OUT.tmp"
+exit $status
