@@ -28,8 +28,16 @@ N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_048_576
 FRAMES = int(sys.argv[2]) if len(sys.argv) > 2 else 60
 BACKEND = sys.argv[3] if len(sys.argv) > 3 else "pm"
 
-scene = nb.make_galaxies(N, 2, seed=11037)
-grid = 1024 if BACKEND == "pm" else 512
+if N >= 8_000_000:
+    # beyond-host-numpy scale: generate the scene on device (the 32M/64M
+    # one-chip ceiling runs measured in scripts/scale_ceiling.py)
+    import jax
+    from nbody_tpu.models.galaxy_device import make_galaxies_device
+
+    scene = make_galaxies_device(jax.random.key(11037), N, 2)
+else:
+    scene = nb.make_galaxies(N, 2, seed=11037)
+grid = (2048 if N >= 8_000_000 else 1024) if BACKEND == "pm" else 512
 world = nb.create_world(
     scene, config=SimConfig(pm_grid=grid, p3m_rebin_interval=8),
     default_backend=BACKEND)
