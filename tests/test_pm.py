@@ -176,3 +176,39 @@ def test_sharded_pm_leapfrog():
     np.testing.assert_allclose(
         np.asarray(sw.particles.pos), np.asarray(w.particles.pos),
         rtol=3e-4, atol=3e-3)
+
+
+def test_patch_row_gather_matches_naive_corner_gather():
+    """The (G^2, 8) patch-row CIC gather (one index per target — TPU gather
+    costs per index, scripts/tune_r3d_cic.py) must be BIT-identical to the
+    naive per-corner element gather it replaced: same corners, same weights,
+    same corner order. Equal to fp32 contraction-order noise: XLA fuses
+    (and fma's) the jitted patch form differently than the eager reference
+    ops, so exact bit equality only holds within one compiled program —
+    the in-production check is the pm trajectory parity tests above."""
+    import jax
+    from nbody_tpu.ops.pm_forces import _cic_gather, _cic_weights
+
+    rng = np.random.default_rng(5)
+    grid = 64
+    a_grid = jnp.asarray(rng.normal(size=(grid, grid, 2)).astype(np.float32))
+    lo = jnp.asarray([-3.0, -4.0], jnp.float32)
+    h = 0.25
+    # targets spanning the interior AND the clamped boundary (i0 = grid-2)
+    pos = rng.uniform(-3.0, -3.0 + grid * h, size=(512, 2)).astype(np.float32)
+    pos[:8] = [-3.0 + grid * h - 1e-4, -4.0 + grid * h - 1e-4]  # far corner
+    pos[8:16] = [-3.0 + 1e-4, -4.0 + 1e-4]                      # near corner
+    pos = jnp.asarray(pos)
+
+    got = jax.jit(lambda a, p: _cic_gather(a, p, lo, 1.0 / h, grid))(a_grid, pos)
+
+    i0, j0, wx, wy = _cic_weights(pos, lo, 1.0 / h, grid)
+    n = pos.shape[0]
+    rows = jnp.stack(
+        [a_grid[i0, j0], a_grid[i0 + 1, j0],
+         a_grid[i0, j0 + 1], a_grid[i0 + 1, j0 + 1]], axis=1)  # (N, 4, 2)
+    w = jnp.stack([(1 - wx) * (1 - wy), wx * (1 - wy),
+                   (1 - wx) * wy, wx * wy], axis=-1)
+    want = (rows * w[..., None]).sum(1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=3e-7)
