@@ -114,7 +114,13 @@ def cmd_gif(args) -> None:
 
 def cmd_view(args) -> None:
     w = _make_world(args)
-    Viewer(w, phys_step=args.dt).run()
+    if args.sdl:
+        from .viewer_sdl import SdlViewer
+
+        SdlViewer(w, phys_step=args.dt,
+                  video_driver=args.video_driver).run(max_frames=args.max_frames)
+    else:
+        Viewer(w, phys_step=args.dt).run()
 
 
 def main(argv=None) -> None:
@@ -147,6 +153,12 @@ def main(argv=None) -> None:
 
     p = sub.add_parser("view", help="interactive viewer (needs GUI backend)")
     _add_scene_args(p)
+    p.add_argument("--sdl", action="store_true",
+                   help="windowed pygame/SDL game loop instead of matplotlib")
+    p.add_argument("--video-driver", default=None,
+                   help="force an SDL video driver (e.g. 'dummy' for headless)")
+    p.add_argument("--max-frames", type=int, default=None,
+                   help="stop the SDL loop after N frames (smoke testing)")
     p.set_defaults(fn=cmd_view)
 
     args = ap.parse_args(argv)

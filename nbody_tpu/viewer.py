@@ -62,9 +62,12 @@ def _rgb(c):
     return tuple(v / 255.0 for v in c)
 
 
-class Viewer:
-    """Matplotlib-based interactive viewer. Requires a GUI backend; for
-    headless environments use :func:`export_animation` instead."""
+class ControlState:
+    """Front-end-agnostic control state: pause/backend/speed/step toggles and
+    the fixed-timestep accumulator (main.c:58-60, 129-163 semantics). Shared
+    by the matplotlib :class:`Viewer` and the SDL windowed loop
+    (:class:`nbody_tpu.viewer_sdl.SdlViewer`); front-ends map their native
+    events onto the ``cmd_*`` methods."""
 
     def __init__(self, world: World, phys_step: float = PHYS_STEP):
         self.world = world
@@ -83,9 +86,27 @@ class Viewer:
         self.phys_time = 0.0
         self.skipped_frames = 0
         self._last_t: float | None = None
-        # camera state (attached axes + middle-drag tracking)
-        self.ax = None
-        self._drag_px: tuple[float, float] | None = None
+
+    # -- control semantics (main.c:112-137) ------------------------------
+    def cmd_pause(self) -> None:
+        self.pause = not self.pause
+        # pausing resets the accumulator (main.c:129-137)
+        self.phys_time = 0.0
+        self.skipped_frames = 0
+
+    def cmd_toggle_backend(self) -> None:
+        self.use_gpu = not self.use_gpu
+        self.phys_time = 0.0
+        self.skipped_frames = 0
+
+    def cmd_speed(self, delta: int) -> None:
+        self.speed_idx = min(max(self.speed_idx + delta, 0), len(SPEEDS) - 1)
+
+    def cmd_step(self, delta: int) -> None:
+        self.step_idx = min(max(self.step_idx + delta, 0), len(STEPS) - 1)
+
+    def cmd_overlay(self) -> None:
+        self.overlay = not self.overlay
 
     def _colors(self, mass: np.ndarray) -> np.ndarray:
         min_core = DEFAULT_GALAXY_CONFIG.min_gc_mass
@@ -95,27 +116,80 @@ class Viewer:
         out[mass >= min_core] = _rgb(CC_COLOR)
         return out
 
+    def overlay_text(self, fps: float) -> str:
+        mode = f"{self.accel_backend} (TPU)" if self.use_gpu else "jnp"
+        state = " (paused)" if self.pause else ""
+        warn = "\nSKIPPING FRAMES" if self.skipped_frames > MAX_OVERWORK else ""
+        return (
+            f"{mode} simulation{state}\n"
+            f"step x{STEPS[self.step_idx]:.2f}  speed x{SPEEDS[self.speed_idx]}\n"
+            f"{fps:.0f} FPS"
+            f"{warn}"
+        )
+
+    def advance(self, frame_time: float | None = None) -> None:
+        """Advance the sim by the accumulator rule (main.c:140-163): bank
+        speed*frame_time seconds, run floor(banked/PHYS_STEP) substeps of
+        size PHYS_STEP*step_mult, capped at MAX_OVERWORK*speed (excess
+        time dropped and counted as skipped frames)."""
+        if self.pause:
+            return
+        import time as _time
+
+        now = _time.perf_counter()
+        if frame_time is None:
+            frame_time = 0.0 if self._last_t is None else now - self._last_t
+        self._last_t = now
+
+        speed = SPEEDS[self.speed_idx]
+        if frame_time == 0.0:
+            # first frame / headless tests: run one tick's worth
+            self.phys_time += speed * self.phys_step
+        else:
+            self.phys_time += speed * frame_time
+        max_overwork = speed * self.phys_step * MAX_OVERWORK
+        if self.phys_time > max_overwork:
+            self.phys_time = max_overwork
+            self.skipped_frames += 1
+        else:
+            self.skipped_frames = 0
+
+        updates = int(self.phys_time // self.phys_step)
+        self.phys_time -= updates * self.phys_step
+        if updates == 0:
+            return
+        step = self.phys_step * STEPS[self.step_idx]
+        backend = self.accel_backend if self.use_gpu else "jnp"
+        self.world.update(step, updates, backend=backend)
+
+
+class Viewer(ControlState):
+    """Matplotlib-based interactive viewer. Requires a GUI backend; for
+    headless environments use :func:`export_animation`, for a real windowed
+    game loop use :class:`nbody_tpu.viewer_sdl.SdlViewer`."""
+
+    def __init__(self, world: World, phys_step: float = PHYS_STEP):
+        super().__init__(world, phys_step)
+        # camera state (attached axes + middle-drag tracking)
+        self.ax = None
+        self._drag_px: tuple[float, float] | None = None
+
     def on_key(self, event) -> None:
         k = (event.key or "").lower()
         if k == " ":
-            self.pause = not self.pause
-            # pausing resets the accumulator (main.c:129-137)
-            self.phys_time = 0.0
-            self.skipped_frames = 0
+            self.cmd_pause()
         elif k == "tab":
-            self.use_gpu = not self.use_gpu
-            self.phys_time = 0.0
-            self.skipped_frames = 0
-        elif k == "left" and self.speed_idx > 0:
-            self.speed_idx -= 1
-        elif k == "right" and self.speed_idx < len(SPEEDS) - 1:
-            self.speed_idx += 1
-        elif k == "down" and self.step_idx > 0:
-            self.step_idx -= 1
-        elif k == "up" and self.step_idx < len(STEPS) - 1:
-            self.step_idx += 1
+            self.cmd_toggle_backend()
+        elif k == "left":
+            self.cmd_speed(-1)
+        elif k == "right":
+            self.cmd_speed(+1)
+        elif k == "down":
+            self.cmd_step(-1)
+        elif k == "up":
+            self.cmd_step(+1)
         elif k == "o":
-            self.overlay = not self.overlay
+            self.cmd_overlay()
         elif k in ("w", "a", "s", "d"):
             self.pan_key(k)
         elif k == "q":
@@ -197,41 +271,6 @@ class Viewer:
         fig.canvas.mpl_connect("button_release_event", self.on_release)
         fig.canvas.mpl_connect("motion_notify_event", self.on_motion)
 
-    def advance(self, frame_time: float | None = None) -> None:
-        """Advance the sim by the accumulator rule (main.c:140-163): bank
-        speed*frame_time seconds, run floor(banked/PHYS_STEP) substeps of
-        size PHYS_STEP*step_mult, capped at MAX_OVERWORK*speed (excess
-        time dropped and counted as skipped frames)."""
-        if self.pause:
-            return
-        import time as _time
-
-        now = _time.perf_counter()
-        if frame_time is None:
-            frame_time = 0.0 if self._last_t is None else now - self._last_t
-        self._last_t = now
-
-        speed = SPEEDS[self.speed_idx]
-        if frame_time == 0.0:
-            # first frame / headless tests: run one tick's worth
-            self.phys_time += speed * self.phys_step
-        else:
-            self.phys_time += speed * frame_time
-        max_overwork = speed * self.phys_step * MAX_OVERWORK
-        if self.phys_time > max_overwork:
-            self.phys_time = max_overwork
-            self.skipped_frames += 1
-        else:
-            self.skipped_frames = 0
-
-        updates = int(self.phys_time // self.phys_step)
-        self.phys_time -= updates * self.phys_step
-        if updates == 0:
-            return
-        step = self.phys_step * STEPS[self.step_idx]
-        backend = self.accel_backend if self.use_gpu else "jnp"
-        self.world.update(step, updates, backend=backend)
-
     def run(self, interval_ms: int = 10):
         import matplotlib
         import matplotlib.pyplot as plt
@@ -274,18 +313,7 @@ class Viewer:
                 fps_state["fps"] = fps_state["frames"] / (now - fps_state["t"])
                 fps_state["t"] = now
                 fps_state["frames"] = 0
-            if self.overlay:
-                mode = f"{self.accel_backend} (TPU)" if self.use_gpu else "jnp"
-                state = " (paused)" if self.pause else ""
-                warn = "\nSKIPPING FRAMES" if self.skipped_frames > MAX_OVERWORK else ""
-                text.set_text(
-                    f"{mode} simulation{state}\n"
-                    f"step x{STEPS[self.step_idx]:.2f}  speed x{SPEEDS[self.speed_idx]}\n"
-                    f"{fps_state['fps']:.0f} FPS"
-                    f"{warn}"
-                )
-            else:
-                text.set_text("")
+            text.set_text(self.overlay_text(fps_state["fps"]) if self.overlay else "")
             return scat, text
 
         anim = FuncAnimation(fig, frame, interval=interval_ms,

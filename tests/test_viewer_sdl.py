@@ -1,0 +1,139 @@
+"""The REAL windowed render loop (viewer_sdl.SdlViewer), executed headlessly
+under SDL's dummy video driver: a genuine pygame event loop with a frame
+clock, real (posted) SDL events, held-key polling, and the device-side
+rasterizer blitted to an actual SDL surface every frame — not synthetic
+callback objects. This is the strongest off-display analogue of running the
+reference's raylib app (src/main.c:63-192)."""
+
+import os
+
+os.environ["SDL_VIDEODRIVER"] = "dummy"
+
+import numpy as np
+import pytest
+
+pygame = pytest.importorskip("pygame")
+
+from helpers import TINY
+
+from nbody_tpu import create_world, make_galaxies
+from nbody_tpu.render import BG_COLOR
+from nbody_tpu.viewer import SPEEDS, STEPS
+from nbody_tpu.viewer_sdl import SdlViewer
+
+
+def make_sdl_viewer(**kw):
+    w = create_world(make_galaxies(200, 1, seed=6), config=TINY,
+                     default_backend="jnp")
+    return SdlViewer(w, video_driver="dummy", width=320, height=180, **kw)
+
+
+def post_key(k):
+    # posting into the SDL queue needs the video subsystem up; run() will
+    # re-init idempotently and consume the queued events
+    if not pygame.display.get_init():
+        pygame.display.init()
+    pygame.event.post(pygame.event.Event(pygame.KEYDOWN, key=k))
+
+
+@pytest.mark.smoke
+def test_loop_runs_simulates_and_draws():
+    """The loop actually runs: frames are clocked and flipped, the sim
+    advances in real time through the accumulator, and the blitted surface
+    contains non-background pixels (particles were rasterized)."""
+    v = make_sdl_viewer(fps=250)
+    before = np.asarray(v.world.particles.pos).copy()
+    v.run(max_frames=12)
+    assert v.frames_drawn == 12
+    after = np.asarray(v.world.particles.pos)
+    assert not np.array_equal(after, before), "sim did not advance in the loop"
+    # the dummy driver still owns a real surface; check the last drawn frame
+    # through a fresh draw (pygame.quit() dropped the display surface)
+    surf = pygame.Surface((320, 180))
+    v.draw(surf, fps=100.0)
+    px = pygame.surfarray.array3d(surf)
+    assert (px != np.array(BG_COLOR)).any(axis=-1).sum() > 10
+
+
+def test_posted_events_drive_controls_through_the_loop():
+    """Real SDL events (posted into the queue, consumed by the loop's
+    pygame.event.get()) flip pause/backend/speed/step/overlay state."""
+    v = make_sdl_viewer()
+    post_key(pygame.K_SPACE)
+    post_key(pygame.K_TAB)
+    post_key(pygame.K_RIGHT)
+    post_key(pygame.K_RIGHT)
+    post_key(pygame.K_UP)
+    post_key(pygame.K_o)
+    v.run(max_frames=2)
+    assert v.pause is True
+    assert v.use_gpu is True  # default jnp -> toggled on
+    assert v.speed_idx == 2 and SPEEDS[v.speed_idx] == 4
+    assert STEPS[v.step_idx] == STEPS[4]
+    assert v.overlay is False
+
+
+def test_quit_key_ends_loop_early():
+    v = make_sdl_viewer()
+    post_key(pygame.K_q)
+    v.run(max_frames=100)
+    assert v.frames_drawn <= 1
+
+
+def test_paused_loop_does_not_advance():
+    v = make_sdl_viewer()
+    post_key(pygame.K_SPACE)
+    before = np.asarray(v.world.particles.pos).copy()
+    v.run(max_frames=6)
+    np.testing.assert_array_equal(np.asarray(v.world.particles.pos), before)
+
+
+def test_wheel_zoom_keeps_pointer_world_point_fixed():
+    """main.c:104-110 semantics on the render.Camera: the world point under
+    the mouse pixel is invariant under wheel zoom."""
+    v = make_sdl_viewer()
+    cam = v.camera
+    px, py = 70.0, 120.0
+    wx = cam.center_x + (px - cam.width / 2) / cam.zoom
+    wy = cam.center_y + (py - cam.height / 2) / cam.zoom
+    v.zoom_at(px, py, 1.1)
+    c2 = v.camera
+    assert c2.zoom == pytest.approx(cam.zoom * 1.1)
+    assert c2.center_x + (px - c2.width / 2) / c2.zoom == pytest.approx(wx, rel=1e-6)
+    assert c2.center_y + (py - c2.height / 2) / c2.zoom == pytest.approx(wy, rel=1e-6)
+
+
+def test_middle_drag_pans_by_pixel_delta_over_zoom():
+    """Middle-drag: target -= pixel_delta / zoom (main.c:97-101), via real
+    MOUSEBUTTONDOWN/MOUSEMOTION/MOUSEBUTTONUP events through the loop."""
+    v = make_sdl_viewer()
+    z = v.camera.zoom
+    x0, y0 = v.camera.center_x, v.camera.center_y
+    if not pygame.display.get_init():
+        pygame.display.init()
+    pygame.event.post(pygame.event.Event(
+        pygame.MOUSEBUTTONDOWN, button=2, pos=(100, 100)))
+    pygame.event.post(pygame.event.Event(
+        pygame.MOUSEMOTION, rel=(10, -4), pos=(110, 96), buttons=(0, 1, 0)))
+    pygame.event.post(pygame.event.Event(
+        pygame.MOUSEBUTTONUP, button=2, pos=(110, 96)))
+    v.run(max_frames=2)
+    assert v.camera.center_x == pytest.approx(x0 - 10 / z)
+    assert v.camera.center_y == pytest.approx(y0 + 4 / z)
+
+
+def test_held_wasd_pans_camera():
+    """Held-key polling (raylib IsKeyDown, main.c:71-85): a held D key pans
+    right by CAMERA_SPEED_DELTA/zoom per second."""
+    from nbody_tpu.viewer_sdl import CAMERA_SPEED_DELTA
+
+    v = make_sdl_viewer()
+    x0 = v.camera.center_x
+
+    class Held(dict):
+        def __getitem__(self, k):
+            return 1 if k == pygame.K_d else 0
+
+    v.poll_held_keys(Held(), frame_time=0.05)
+    expect = CAMERA_SPEED_DELTA / v.camera.zoom * 0.05
+    assert v.camera.center_x - x0 == pytest.approx(expect)
