@@ -159,7 +159,13 @@ def make_galaxies_device(
 
     dx = dist * jnp.cos(ang + arm)
     dy = dist * jnp.sin(ang + arm)
-    pos = core_pos[gal] + jnp.stack([dx, dy], axis=1)
+    # gather core columns as (n,) vectors, NOT core_pos[gal] -> (n, 2): a
+    # TPU gather output gets the tiled T(8,128) layout, padding the size-2
+    # minor dim to 128 lanes — a 64x HBM expansion (16 GB at N=32M; this is
+    # what capped the round-2 scale ceiling at 16.7M particles)
+    cpx, cpy = core_pos[:, 0][gal], core_pos[:, 1][gal]
+    px = cpx + dx
+    py = cpy + dy
 
     # massless rule (galaxy.c:204-210) + body mass/radius
     dist_range = max_dist[gal] - min_dist[gal]
@@ -170,13 +176,19 @@ def make_galaxies_device(
 
     # circular orbital velocity around the core (galaxy.c:213-215)
     speed = jnp.sqrt(G * core_mass[gal] / dist)
-    vel = core_vel[gal] + speed[:, None] * jnp.stack([dy / dist, -dx / dist], axis=1)
+    cvx, cvy = core_vel[:, 0][gal], core_vel[:, 1][gal]
+    vx = cvx + speed * (dy / dist)
+    vy = cvy - speed * (dx / dist)
 
-    # core rows override the synthesized values
-    pos = jnp.where(is_core[:, None], core_pos[gal], pos)
-    vel = jnp.where(is_core[:, None], core_vel[gal], vel)
+    # core rows override the synthesized values (columnwise, same reason)
+    px = jnp.where(is_core, cpx, px)
+    py = jnp.where(is_core, cpy, py)
+    vx = jnp.where(is_core, cvx, vx)
+    vy = jnp.where(is_core, cvy, vy)
     mass = jnp.where(is_core, core_mass[gal], mass)
     radius = jnp.where(is_core, core_radius[gal], radius)
+    pos = jnp.stack([px, py], axis=1)
+    vel = jnp.stack([vx, vy], axis=1)
 
     return Particles(
         pos=pos.astype(DTYPE),
