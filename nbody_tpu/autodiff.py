@@ -112,7 +112,9 @@ def rollout(
             return p3m_bins(
                 p, radius, p[:mass_len], gm, grid=pm_grid,
                 rc_cells=p3m_rc_cells, exact_targets=p3m_exact_targets,
-                big=big0)
+                big=big0,
+                composite_capacity=(p3m_cell_capacity
+                                    if k_rebin > 1 else None))
 
         def one_step(p, v, bins):
             acc = p3m_acc_from_bins(

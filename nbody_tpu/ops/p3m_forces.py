@@ -127,6 +127,20 @@ def _gather_blocks(sorted_vals_fills, counts, gc, cap):
     return [out3[..., c].reshape(gc, gc, cap) for c in range(c_dim)]
 
 
+def _composite_pack(rows, oidx, okc, fills):
+    """Cell blocks in ONE gather: ``rows`` are the ORIGINAL (unpermuted)
+    (N, C) per-particle values, ``oidx[c, k] = order[starts[c] + k]`` is the
+    precomputed composite slot->original-row index (position-independent,
+    so frozen-bins-cacheable), ``okc`` masks slots beyond each cell's count.
+    Measured v5e, N=1M, gc=128, cap=96 (scripts/tune_r3e_block_pack.py):
+    10.3 ms vs 16.0 ms for the production permute+per-slot-pack chain —
+    the 1M-row permutation gather disappears. The oidx build costs ~10 ms
+    itself, so this form only wins when oidx is reused across substeps
+    (``p3m_rebin_interval`` > 1)."""
+    got = rows[oidx]                                   # (gc², cap, C)
+    return jnp.where(okc[..., None], got, fills)
+
+
 def _pack_source_blocks(src_pos, src_gm, lo, inv_c, gc, cap):
     """Pack sources into (gc, gc, cap) cell blocks, heaviest-first within a
     cell. Empty slots / dropped overflow keep gm = 0 => contribute exactly
@@ -165,21 +179,35 @@ def _pp_from_blocks(tgt_pos, tgt_radius, src_blocks, lo, inv_c, gc,
 
 
 def _pp_apply(tgt_pos, tgt_radius, src_blocks, order_t, cid_t, rank_t,
-              counts_t, grank_t, gc, cap_t, rc, eps2, precise):
+              counts_t, grank_t, gc, cap_t, rc, eps2, precise,
+              pack_t=None, unpack=None):
     """PP correction given pre-packed source blocks AND a pre-computed
     target cell assignment (order/cid/rank/counts). Positions are always
     read fresh through the (possibly frozen — see ``p3m_bins``) orders.
+
+    ``pack_t`` / ``unpack`` optionally carry the composite-index forms from
+    ``p3m_bins(composite=True)``: ``pack_t = (oidx_t, ok_t)`` packs target
+    blocks in one gather of the ORIGINAL rows, and ``unpack = (flat, okm)``
+    restores original order with one flat-index gather instead of the
+    slot-gather + lax.sort chain (measured deltas in _composite_pack and
+    scripts/tune_r3e_block_pack.py).
 
     The pair blocks run through XLA's fused map — a hand-written Pallas
     alternative exists (ops/p3m_pallas.py) but measured 30 ms vs 17 ms at
     N=1M (the §3 broadcast-materialization tax plus per-cell dynamic-slice
     overhead) and ships as a tested ablation only."""
     sx, sy, sgm = src_blocks
-    trow = jnp.concatenate([tgt_pos, tgt_radius[:, None]],
-                           axis=-1)[order_t]
-    tx, ty, trad = _gather_blocks(
-        [(trow[:, 0], 0.0), (trow[:, 1], 0.0), (trow[:, 2], 1.0)],
-        counts_t, gc, cap_t)
+    trows = jnp.concatenate([tgt_pos, tgt_radius[:, None]], axis=-1)
+    if pack_t is not None:
+        oidx_t, ok_t = pack_t
+        t3 = _composite_pack(trows, oidx_t, ok_t,
+                             jnp.array([0.0, 0.0, 1.0], DTYPE))
+        tx, ty, trad = (t3[..., c].reshape(gc, gc, cap_t) for c in range(3))
+    else:
+        trow = trows[order_t]
+        tx, ty, trad = _gather_blocks(
+            [(trow[:, 0], 0.0), (trow[:, 1], 0.0), (trow[:, 2], 1.0)],
+            counts_t, gc, cap_t)
 
     # -- zero-pad a one-cell ring (out-of-range neighbors read gm = 0 rows)
     #    and concatenate the 9 shifted neighbor views along the capacity
@@ -227,6 +255,10 @@ def _pp_apply(tgt_pos, tgt_radius, src_blocks, order_t, cid_t, rank_t,
     corr_blocks = jax.lax.map(
         jax.checkpoint(row), (tx, ty, trad, nsx, nsy, nsg)
     ).reshape(gc * gc, cap_t, 2)
+    if unpack is not None:
+        flat, okm = unpack
+        got = corr_blocks.reshape(gc * gc * cap_t, 2)[flat]
+        return jnp.where(okm[:, None], got, 0.0).astype(DTYPE)
     return _pp_unpack(corr_blocks, tgt_pos.shape[0], order_t, cid_t,
                       rank_t, grank_t, cap_t)
 
@@ -490,6 +522,7 @@ def p3m_bins(
     tgt_pos, tgt_radius, src_pos, src_gm, *,
     grid: int, rc_cells: int, exact_targets: int,
     tgt_mask=None, big=None,
+    composite_capacity: int | None = None,
 ):
     """Freeze the P³M spatial structure for reuse across substeps: the
     adaptive box, both cell sort orders (sources heaviest-first, targets
@@ -514,6 +547,33 @@ def p3m_bins(
     order_s, _, _, counts_s = _cell_pack(src_pos, lo, inv_c, gc,
                                          priority=src_gm)
     order_t, cid_t, rank_t, counts_t = _cell_pack(tgt_pos, lo, inv_c, gc)
+    extra = {}
+    if composite_capacity is not None:
+        # Composite-index forms (scripts/tune_r3e_block_pack.py): cost ~30 ms
+        # to build at N=1M but save ~15 ms per substep — net win exactly when
+        # reused across substeps, so callers request them iff
+        # p3m_rebin_interval > 1. All position-independent given the orders.
+        cap = composite_capacity
+        slot = jnp.arange(cap, dtype=jnp.int32)
+
+        def oidx_of(order, counts):
+            starts = (jnp.cumsum(counts) - counts).astype(jnp.int32)
+            n = order.shape[0]
+            oidx = order[jnp.minimum(starts[:, None] + slot[None, :], n - 1)]
+            okc = slot[None, :] < jnp.minimum(counts, cap)[:, None]
+            return oidx, okc
+
+        extra["oidx_s"], extra["ok_s"] = oidx_of(order_s, counts_s)
+        extra["oidx_t"], extra["ok_t"] = oidx_of(order_t, counts_t)
+        # unpack: original-order flat index + validity (grank == rank here;
+        # inv via one payload sort — the same primitive _pp_unpack would
+        # otherwise pay every substep)
+        _, inv = jax.lax.sort(
+            (order_t, jnp.arange(order_t.shape[0], dtype=jnp.int32)),
+            num_keys=1)
+        extra["unpack_flat"] = (cid_t * cap
+                                + jnp.minimum(rank_t, cap - 1))[inv]
+        extra["unpack_ok"] = (rank_t < cap)[inv]
     if big is None:
         # radius is constant in a run; loop callers precompute this once.
         # The selection KEY masks padding rows to -inf so they never
@@ -525,7 +585,7 @@ def p3m_bins(
         "lo": lo, "h": h,
         "order_s": order_s, "counts_s": counts_s,
         "order_t": order_t, "cid_t": cid_t, "rank_t": rank_t,
-        "counts_t": counts_t, "big": big,
+        "counts_t": counts_t, "big": big, **extra,
     }
 
 
@@ -550,14 +610,25 @@ def p3m_acc_from_bins(
 
     gc = max(grid // rc_cells, 1)
     cap = cell_capacity
-    ps = src_pos[bins["order_s"]]
-    src_blocks = _gather_blocks(
-        [(ps[:, 0], 0.0), (ps[:, 1], 0.0), (src_gm[bins["order_s"]], 0.0)],
-        bins["counts_s"], gc, cap)
+    if "oidx_s" in bins:
+        s3 = _composite_pack(
+            jnp.concatenate([src_pos, src_gm[:, None]], axis=-1),
+            bins["oidx_s"], bins["ok_s"], jnp.zeros((3,), DTYPE))
+        src_blocks = [s3[..., c].reshape(gc, gc, cap) for c in range(3)]
+        pack_t = (bins["oidx_t"], bins["ok_t"])
+        unpack = (bins["unpack_flat"], bins["unpack_ok"])
+    else:
+        ps = src_pos[bins["order_s"]]
+        src_blocks = _gather_blocks(
+            [(ps[:, 0], 0.0), (ps[:, 1], 0.0),
+             (src_gm[bins["order_s"]], 0.0)],
+            bins["counts_s"], gc, cap)
+        pack_t = unpack = None
     acc = acc + _pp_apply(
         tgt_pos, tgt_radius, src_blocks,
         bins["order_t"], bins["cid_t"], bins["rank_t"], bins["counts_t"],
-        bins["rank_t"], gc, cap, rc, eps2, precise)
+        bins["rank_t"], gc, cap, rc, eps2, precise,
+        pack_t=pack_t, unpack=unpack)
 
     big = bins["big"]
     if big.shape[0]:

@@ -276,7 +276,11 @@ def p3m_bins_builder(state: Particles, gm, valid, *, src_len: int,
             st.pos, st.radius, st.pos[:src_len], gm[:src_len],
             grid=config.pm_grid, rc_cells=config.p3m_rc_cells,
             exact_targets=config.p3m_exact_targets, tgt_mask=valid,
-            big=big0)
+            big=big0,
+            # composite pack/unpack indices cost ~2 substeps' savings to
+            # build (tune_r3e) — request them only when bins are reused
+            composite_capacity=(config.p3m_cell_capacity
+                                if config.p3m_rebin_interval > 1 else None))
 
     return bins_of
 

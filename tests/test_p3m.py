@@ -282,6 +282,33 @@ def test_bins_path_matches_p3m_acc_exactly():
     np.testing.assert_allclose(got / scale, ref / scale, atol=1e-7)
 
 
+def test_composite_bins_match_plain_bins_bit_exact():
+    """p3m_bins(composite_capacity=cap) adds the one-gather pack/unpack
+    index forms (tune_r3e: the permutation gather and the order-restoring
+    sort move to bin-build time, paying off when bins are reused across
+    substeps). Same bins, same math — the accelerations must be BIT
+    identical to the plain-bins path, overflowing cells included."""
+    from nbody_tpu.ops.p3m_forces import p3m_acc_from_bins, p3m_bins
+
+    scene = nb.make_galaxies(1024, 2, seed=11037)
+    w = nb.create_world(scene)
+    pos = w.state.pos[: w.total_len]
+    rad = w.state.radius[: w.total_len]
+    src = pos[: w.mass_len]
+    gm = w.gm[: w.mass_len]
+    kw = dict(grid=256, rc_cells=4, exact_targets=64)
+    # cap=8 forces real overflow so the composite ok-masks are exercised
+    for cap in (8, 32):
+        plain = p3m_acc_from_bins(
+            p3m_bins(pos, rad, src, gm, **kw), pos, rad, src, gm, 2.0,
+            grid=256, rc_cells=4, cell_capacity=cap)
+        comp = p3m_acc_from_bins(
+            p3m_bins(pos, rad, src, gm, composite_capacity=cap, **kw),
+            pos, rad, src, gm, 2.0, grid=256, rc_cells=4,
+            cell_capacity=cap)
+        np.testing.assert_array_equal(np.asarray(plain), np.asarray(comp))
+
+
 def test_rebin_interval_error_is_bounded():
     # rebin=1 is the exact (default) behavior; rebin=4 may only miss pairs
     # that crossed the taper-suppressed rc boundary since the last rebin —
