@@ -342,7 +342,7 @@ def p3m_bins_collective(
     tgt_pos, tgt_radius, src_gm_row, *,
     grid: int, rc_cells: int, cell_capacity: int, exact_targets: int,
     tgt_mask=None, axis_name: str, n_devices: int,
-    big_bins=None,
+    big_bins=None, composite: bool = False,
 ):
     """Collective counterpart of :func:`p3m_bins`: freeze everything about
     the P³M spatial structure that is position-stale-tolerant or
@@ -394,6 +394,29 @@ def p3m_bins_collective(
     else:
         bins["goff"] = jnp.zeros((gc * gc,), jnp.int32)
         bins["sgm"] = sgm_local
+
+    if composite:
+        # composite pack/unpack indices (the single-device
+        # ``composite_capacity`` forms, tune_r3e) — per shard, with the
+        # cross-device global-rank drop rule folded into the unpack mask
+        slot = jnp.arange(cap, dtype=jnp.int32)
+
+        def oidx_of(order, counts):
+            starts = (jnp.cumsum(counts) - counts).astype(jnp.int32)
+            n = order.shape[0]
+            oidx = order[jnp.minimum(starts[:, None] + slot[None, :], n - 1)]
+            okc = slot[None, :] < jnp.minimum(counts, cap)[:, None]
+            return oidx, okc
+
+        bins["oidx_s"], bins["ok_s"] = oidx_of(order_s, counts_s)
+        bins["oidx_t"], bins["ok_t"] = oidx_of(order_t, counts_t)
+        _, inv = jax.lax.sort(
+            (order_t, jnp.arange(order_t.shape[0], dtype=jnp.int32)),
+            num_keys=1)
+        grank_t = rank_t + bins["goff"][cid_t]
+        bins["unpack_flat"] = (cid_t * cap
+                               + jnp.minimum(rank_t, cap - 1))[inv]
+        bins["unpack_ok"] = ((rank_t < cap) & (grank_t < cap))[inv]
 
     if exact_targets:
         if big_bins is not None:
@@ -458,9 +481,18 @@ def p3m_acc_collective_from_bins(
 
     # source (x, y) panels: fresh positions through the frozen order; the
     # gm panel and the merge selection come frozen from the bins
-    ps = tgt_pos[bins["order_s"]]
-    sx, sy = _gather_blocks([(ps[:, 0], 0.0), (ps[:, 1], 0.0)],
-                            bins["counts_s"], gc, cap)
+    if "oidx_s" in bins:
+        s2 = _composite_pack(tgt_pos, bins["oidx_s"], bins["ok_s"],
+                             jnp.zeros((2,), DTYPE))
+        sx = s2[..., 0].reshape(gc, gc, cap)
+        sy = s2[..., 1].reshape(gc, gc, cap)
+        pack_t = (bins["oidx_t"], bins["ok_t"])
+        unpack = (bins["unpack_flat"], bins["unpack_ok"])
+    else:
+        ps = tgt_pos[bins["order_s"]]
+        sx, sy = _gather_blocks([(ps[:, 0], 0.0), (ps[:, 1], 0.0)],
+                                bins["counts_s"], gc, cap)
+        pack_t = unpack = None
     if n_devices > 1:
         sx = jax.lax.all_gather(sx, axis_name, axis=2, tiled=True)
         sy = jax.lax.all_gather(sy, axis_name, axis=2, tiled=True)
@@ -470,7 +502,8 @@ def p3m_acc_collective_from_bins(
     acc = acc + _pp_apply(
         tgt_pos, tgt_radius, (sx, sy, bins["sgm"]),
         bins["order_t"], bins["cid_t"], bins["rank_t"], bins["counts_t"],
-        grank_t, gc, cap, rc, eps2, precise)
+        grank_t, gc, cap, rc, eps2, precise,
+        pack_t=pack_t, unpack=unpack)
 
     if exact_targets:
         from .. import forces

@@ -159,7 +159,9 @@ def _grid_device_loop(pos, vel, acc, radius, gm_row, valid, dt, n, *,
 
     def bins_of(p):
         return p3m_bins_collective(p, radius, gm_row, tgt_mask=valid,
-                                   big_bins=big0, **kw)
+                                   big_bins=big0,
+                                   composite=config.p3m_rebin_interval > 1,
+                                   **kw)
 
     def force(bins, p):
         return p3m_acc_collective_from_bins(

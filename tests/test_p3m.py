@@ -185,6 +185,45 @@ def test_sharded_p3m_matches_single_device():
         np.testing.assert_allclose(a / scale, b / scale, atol=2e-6)
 
 
+def test_sharded_composite_bins_bit_match_plain():
+    """The collective composite pack/unpack indices (p3m_bins_collective
+    composite=True — used when p3m_rebin_interval > 1) must reproduce the
+    plain collective forms from the same fresh bins: same slots, same drop
+    rule (the cross-device global-rank mask folds into the cached unpack
+    mask). One force evaluation, both flags, under shard_map on 4 devices.
+    The two flags compile different gather structures, so XLA's fma/fusion
+    choices differ — equality is up to fp32 contraction-order noise (a
+    drop-rule bug would be wrong by whole pair forces, not 1e-6)."""
+    from jax.sharding import PartitionSpec as P
+
+    from nbody_tpu.parallel.sharding import AXIS, make_mesh
+    from nbody_tpu.ops.p3m_forces import (
+        p3m_acc_collective_from_bins, p3m_bins_collective)
+    from nbody_tpu.types import G
+
+    d = 4
+    mesh = make_mesh(d)
+    scene = nb.make_galaxies(1024, 2, seed=3)
+    pos = jnp.asarray(scene.pos)
+    rad = jnp.asarray(scene.radius)
+    gm = jnp.asarray(G * scene.mass)
+    kw = dict(grid=256, rc_cells=4, cell_capacity=16, exact_targets=16,
+              axis_name=AXIS, n_devices=d)
+
+    def run(composite):
+        def body(p, r, g):
+            bins = p3m_bins_collective(p, r, g, composite=composite, **kw)
+            return p3m_acc_collective_from_bins(bins, p, r, g, 2.0, **kw)
+
+        return np.asarray(jax.jit(jax.shard_map(
+            body, mesh=mesh, in_specs=(P(AXIS), P(AXIS), P(AXIS)),
+            out_specs=P(AXIS)))(pos, rad, gm))
+
+    a, b = run(False), run(True)
+    scale = np.abs(a).max()
+    np.testing.assert_allclose(a / scale, b / scale, atol=2e-6)
+
+
 def test_sharded_p3m_exact_cores_match_direct():
     # the psum'd exact-core override: forces on the largest-radius targets
     # (galaxy cores) must be direct-sum exact on the sharded path too
