@@ -37,8 +37,11 @@ def _add_scene_args(p: argparse.ArgumentParser) -> None:
                    help="exact sqrt+divide force math (reference shader semantics)")
     p.add_argument("--integrator", choices=["euler", "leapfrog"], default="euler",
                    help="euler = reference-exact; leapfrog = 2nd-order symplectic")
-    p.add_argument("--pm-grid", type=int, default=512,
-                   help="particle-mesh resolution (backend=pm/p3m)")
+    p.add_argument("--pm-grid", default=512,
+                   type=lambda s: s if s == "auto" else int(s),
+                   help="particle-mesh resolution (backend=pm/p3m), or "
+                        "'auto' for the measured sqrt(N) heuristic "
+                        "(ops.pm_forces.suggest_grid)")
     p.add_argument("--pm-softening", type=float, default=2.0,
                    help="global Plummer softening length (backend=pm/p3m)")
     p.add_argument("--p3m-rc-cells", type=int, default=4,
@@ -59,8 +62,14 @@ def _make_world(args):
         particles, _ = load_particles(args.state)
     else:
         particles = make_galaxies(args.n, args.galaxies, seed=args.seed)
+    pm_grid = args.pm_grid
+    if pm_grid == "auto":
+        from .ops.pm_forces import suggest_grid
+
+        pm_grid = suggest_grid(particles.pos.shape[0])
+        print(f"pm_grid auto -> {pm_grid}", file=sys.stderr)
     config = SimConfig(precise=args.precise, integrator=args.integrator,
-                       pm_grid=args.pm_grid, pm_softening=args.pm_softening,
+                       pm_grid=pm_grid, pm_softening=args.pm_softening,
                        p3m_rc_cells=args.p3m_rc_cells,
                        p3m_cell_capacity=args.p3m_cell_capacity,
                        p3m_exact_targets=args.p3m_exact_targets,

@@ -38,6 +38,22 @@ import jax.numpy as jnp
 from ..types import DTYPE
 
 
+def suggest_grid(n: int, lo: int = 256, hi: int = 4096) -> int:
+    """Measured-optimal mesh resolution for ``n`` particles: the next power
+    of two >= sqrt(n), clamped to [lo, hi].
+
+    The v5e sweep behind this (docs/BENCHMARKS.md): at N=1M grid 1024 beats
+    2048 (22 vs 54 ms/substep — the doubled FFT/patch-table cost buys
+    accuracy the CIC already delivers at ~1 particle/cell), at 262k grid
+    512-1024 tie, at 4M+ grid 2048 tracks. sqrt(N) keeps ~1 particle per
+    cell; raise it (and accept the cost) when force-error tails matter more
+    than speed, or use backend="p3m" which fixes the tails exactly."""
+    g = 1
+    while g * g < n:
+        g <<= 1
+    return max(lo, min(hi, g))
+
+
 def _cic_weights(pos, lo, inv_h, grid):
     """Cloud-in-cell: cell index pairs and bilinear weights for each point.
 

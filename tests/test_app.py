@@ -44,3 +44,19 @@ def test_gif_export(tmp_path):
 def test_bad_args_exit():
     with pytest.raises(SystemExit):
         main(["run", "--bogus"])
+
+
+def test_pm_grid_auto(tmp_path, capsys):
+    """--pm-grid auto resolves through ops.pm_forces.suggest_grid (the
+    measured ~sqrt(N) heuristic, clamped to [256, 4096])."""
+    from nbody_tpu.ops.pm_forces import suggest_grid
+
+    assert suggest_grid(250) == 256          # lo clamp
+    assert suggest_grid(262144) == 512
+    assert suggest_grid(1 << 20) == 1024
+    assert suggest_grid(1 << 20 | 1) == 2048  # strict next-pow2 of sqrt
+    assert suggest_grid(1 << 26) == 4096     # hi clamp
+    state = str(tmp_path / "s.npz")
+    main(["run", "--n", "250", "--galaxies", "1", "--steps", "2",
+          "--backend", "pm", "--pm-grid", "auto", "--save", state])
+    assert "pm_grid auto -> 256" in capsys.readouterr().err
