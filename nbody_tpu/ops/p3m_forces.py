@@ -62,7 +62,9 @@ def _taper(d2, rc):
     """Smootherstep 6u⁵-15u⁴+10u³ of u = d/rc, clamped above at 1 (u >= 0
     holds by construction: sqrt is non-negative). The tiny bias keeps
     reverse-mode AD finite at d2 = 0 (sqrt'(0) = inf would meet the 0-valued
-    polynomial derivative as 0·inf = NaN)."""
+    polynomial derivative as 0·inf = NaN). (An rsqrt+hoisted-reciprocal
+    rewrite of sqrt/rc measured EXACTLY neutral at N=1M — the pair map is
+    not transcendental-bound — so the literal form stays.)"""
     u = jnp.minimum(jnp.sqrt(d2 + 1e-12) / rc, 1.0)
     return u * u * u * (10.0 + u * (6.0 * u - 15.0))
 
