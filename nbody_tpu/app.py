@@ -55,6 +55,9 @@ def _add_scene_args(p: argparse.ArgumentParser) -> None:
                    help="p3m: recompute cell sorts every this many substeps "
                         "(1 = exact; >1 trades a bounded rc-boundary error "
                         "for amortized sort cost at large N)")
+    p.add_argument("--p3m-pp-chunk", type=int, default=64,
+                   help="p3m: PP pair-map chunk size for the exact "
+                        "empty-chunk skip (0 = off)")
 
 
 def _make_world(args):
@@ -73,7 +76,8 @@ def _make_world(args):
                        p3m_rc_cells=args.p3m_rc_cells,
                        p3m_cell_capacity=args.p3m_cell_capacity,
                        p3m_exact_targets=args.p3m_exact_targets,
-                       p3m_rebin_interval=args.p3m_rebin)
+                       p3m_rebin_interval=args.p3m_rebin,
+                       p3m_pp_chunk=args.p3m_pp_chunk)
     return create_world(particles, config=config, default_backend=args.backend)
 
 

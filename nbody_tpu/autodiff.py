@@ -28,7 +28,8 @@ from .types import G, Particles
     jax.jit,
     static_argnames=("n_steps", "mass_len", "precise", "remat", "g", "backend",
                      "pm_grid", "p3m_rc_cells", "p3m_cell_capacity",
-                     "p3m_exact_targets", "p3m_rebin_interval"),
+                     "p3m_exact_targets", "p3m_rebin_interval",
+                     "p3m_pp_chunk"),
 )
 def rollout(
     pos: jax.Array,
@@ -49,6 +50,7 @@ def rollout(
     p3m_cell_capacity: int = 96,
     p3m_exact_targets: int = 64,
     p3m_rebin_interval: int = 1,
+    p3m_pp_chunk: int = 64,
 ):
     """Differentiable n_steps-substep rollout. Inputs must be in
     massive-first order (sources = rows [0, mass_len)). Returns final
@@ -120,7 +122,8 @@ def rollout(
             acc = p3m_acc_from_bins(
                 bins, p, radius, p[:mass_len], gm, softening=pm_softening,
                 grid=pm_grid, rc_cells=p3m_rc_cells,
-                cell_capacity=p3m_cell_capacity, precise=precise)
+                cell_capacity=p3m_cell_capacity, precise=precise,
+                pp_chunk=p3m_pp_chunk or None)
             v = v + dt * acc
             p = p + dt * v
             return p, v
@@ -164,7 +167,8 @@ def rollout(
 @functools.lru_cache(maxsize=None)
 def _sharded_rollout_fn(mesh, n, n_pad, mass_len, n_steps, backend, precise,
                         remat, g, pm_grid, pm_softening, p3m_rc_cells,
-                        p3m_cell_capacity, p3m_exact_targets, chunk):
+                        p3m_cell_capacity, p3m_exact_targets, p3m_pp_chunk,
+                        chunk):
     from jax.sharding import PartitionSpec as P
 
     from .parallel.sharding import AXIS
@@ -190,7 +194,8 @@ def _sharded_rollout_fn(mesh, n, n_pad, mass_len, n_steps, backend, precise,
                     p, radius, gm, softening=pm_softening, grid=pm_grid,
                     rc_cells=p3m_rc_cells, cell_capacity=p3m_cell_capacity,
                     exact_targets=p3m_exact_targets, precise=precise,
-                    tgt_mask=valid, axis_name=AXIS, n_devices=d) * valid
+                    tgt_mask=valid, pp_chunk=p3m_pp_chunk or None,
+                    axis_name=AXIS, n_devices=d) * valid
 
         else:
             # ring of RESIDENT tiles: every device's own rows (gm-masked)
@@ -263,6 +268,7 @@ def rollout_sharded(
     p3m_rc_cells: int = 4,
     p3m_cell_capacity: int = 96,
     p3m_exact_targets: int = 64,
+    p3m_pp_chunk: int = 64,
     chunk: int = 512,
 ):
     """Differentiable rollout sharded over a 1-D device mesh.
@@ -290,7 +296,7 @@ def rollout_sharded(
     fn = _sharded_rollout_fn(
         mesh, n, n_pad, mass_len, n_steps, backend, precise, remat, g,
         pm_grid, pm_softening, p3m_rc_cells, p3m_cell_capacity,
-        p3m_exact_targets, chunk)
+        p3m_exact_targets, p3m_pp_chunk, chunk)
     return fn(pos, vel, mass, radius, jnp.asarray(dt, jnp.float32))
 
 

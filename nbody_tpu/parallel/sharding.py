@@ -166,7 +166,8 @@ def _grid_device_loop(pos, vel, acc, radius, gm_row, valid, dt, n, *,
     def force(bins, p):
         return p3m_acc_collective_from_bins(
             bins, p, radius, gm_row, softening=config.pm_softening,
-            precise=config.precise, **kw) * valid
+            precise=config.precise,
+            pp_chunk=config.p3m_pp_chunk or None, **kw) * valid
 
     k = config.p3m_rebin_interval
 

@@ -165,6 +165,14 @@ class SimConfig:
     # last rebin — bounded by the drift per k substeps. Works on sharded
     # worlds too (the frozen collective bins ride the in-shard_map loop).
     p3m_rebin_interval: int = 1
+    # PP pair-map chunking: iterate the cell map pp_chunk cells per scan
+    # step and skip chunks with no targets or no candidate sources — the
+    # skipped cells' correction is exactly zero (the chunked map is
+    # bit-identical; recompiled fusion elsewhere may differ by ~1 ulp).
+    # Galaxy scenes are clusters (most chunks empty): measured 1.09x on
+    # the PP stage at N=1M (scripts/tune_r3g_pp_skip.py). 0 disables;
+    # silently ignored when the value does not divide gc².
+    p3m_pp_chunk: int = 64
 
     def __post_init__(self):
         if self.integrator not in ("euler", "leapfrog"):
@@ -189,6 +197,10 @@ class SimConfig:
             raise ValueError(
                 f"p3m_rebin_interval must be >= 1, got "
                 f"{self.p3m_rebin_interval}")
+        if self.p3m_pp_chunk < 0:
+            raise ValueError(
+                f"p3m_pp_chunk must be >= 0 (0 = off), got "
+                f"{self.p3m_pp_chunk}")
         if (self.tile_targets % 8 or self.tile_sources % 128
                 or self.kernel_tile_targets % 8):
             raise ValueError(

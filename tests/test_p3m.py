@@ -473,6 +473,81 @@ def test_config_validation():
         SimConfig(p3m_rebin_interval=0)
 
 
+def _pp_stage(pos, radius, gm, *, grid=256, rc_cells=4, cap=64, chunk=None):
+    """The isolated PP correction stage, as p3m_acc_from_bins wires it."""
+    from nbody_tpu.ops.p3m_forces import _pack_source_blocks, _pp_apply
+    from nbody_tpu.ops.pm_forces import _bounds, _box
+
+    sg = jax.lax.stop_gradient
+    all_min, all_max = _bounds(sg(pos), sg(pos), sg(gm), None)
+    lo, h = _box(all_min, all_max, grid)
+    gc = grid // rc_cells
+    inv_c = gc / (grid * h)
+    blocks = _pack_source_blocks(pos, gm, lo, inv_c, gc, cap)
+    order_t, cid_t, rank_t, counts_t = _cell_pack(pos, lo, inv_c, gc)
+    return _pp_apply(pos, radius, blocks, order_t, cid_t, rank_t, counts_t,
+                     rank_t, gc, cap, rc_cells * h, jnp.float32(4.0), False,
+                     chunk=chunk)
+
+
+@pytest.mark.smoke
+def test_pp_chunked_map_bit_matches_row_map():
+    """The occupancy-skipping chunked lax.map (chunk=B) must be bit-identical
+    to the row map: the lax.cond skip only ever drops cells whose correction
+    is exactly zero (no targets, or all-zero candidate gm)."""
+    scene = nb.make_galaxies(4096, 3, seed=7)
+    w = nb.create_world(scene)
+    pos = w.state.pos[: w.total_len]
+    rad = w.state.radius[: w.total_len]
+    gm = jnp.zeros(w.total_len).at[: w.mass_len].set(w.gm[: w.mass_len])
+
+    ref = np.asarray(_pp_stage(pos, rad, gm))
+    for b in (16, 64):
+        got = np.asarray(_pp_stage(pos, rad, gm, chunk=b))
+        np.testing.assert_array_equal(got, ref)
+    # chunk not dividing gc^2 falls back to the row map — still exact
+    got = np.asarray(_pp_stage(pos, rad, gm, chunk=7))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_world_pp_chunk_trajectory_matches_off():
+    """End-to-end: a p3m world with the default pp_chunk must track the
+    pp_chunk=0 trajectory to fp32 fusion noise, including the frozen-bins
+    rebin path. (The skip itself contributes exactly zero — the chunked
+    _pp_apply is bit-identical, see test_pp_chunked_map_bit_matches_row_map
+    — but the two configs are different XLA executables, whose fusion
+    differs by ~1 ulp per substep elsewhere in the update.)"""
+    scene = nb.make_galaxies(2048, 2, seed=5)
+    outs = []
+    for pp_chunk in (64, 0):
+        for rebin in (1, 4):
+            cfg = SimConfig(p3m_pp_chunk=pp_chunk, pm_grid=256,
+                            p3m_rebin_interval=rebin)
+            w = nb.create_world(scene, config=cfg, default_backend="p3m")
+            w.update(0.01, 8)
+            outs.append(np.asarray(w.state.pos))
+    scale = np.abs(outs[2]).max()
+    np.testing.assert_allclose(outs[0], outs[2], atol=1e-5 * scale)  # rebin=1
+    np.testing.assert_allclose(outs[1], outs[3], atol=1e-5 * scale)  # rebin=4
+
+
+def test_pp_chunked_map_gradients_match():
+    """Reverse-mode AD through the chunked map (cond of checkpointed row)
+    must agree with the row-map gradients."""
+    scene = nb.make_galaxies(512, 2, seed=3)
+    w = nb.create_world(scene)
+    pos = w.state.pos[: w.total_len]
+    rad = w.state.radius[: w.total_len]
+    gm = jnp.zeros(w.total_len).at[: w.mass_len].set(w.gm[: w.mass_len])
+
+    def loss(p, chunk):
+        return jnp.sum(_pp_stage(p, rad, gm, grid=64, chunk=chunk) ** 2)
+
+    g_ref = np.asarray(jax.grad(lambda p: loss(p, None))(pos))
+    g_chk = np.asarray(jax.grad(lambda p: loss(p, 16))(pos))
+    np.testing.assert_allclose(g_chk, g_ref, rtol=1e-5, atol=1e-6)
+
+
 def test_gather_blocks_equals_scatter_blocks():
     """The production gather-built cell blocks must equal the legacy
     scatter form (_to_blocks) for random occupancy including overflow."""
