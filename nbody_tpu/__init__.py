@@ -23,7 +23,8 @@ from .types import (
 from .forces import acc_from_particles, direct_sum_acc, pair_acc
 from .galaxy import make_galaxies
 from .models.galaxy_device import make_galaxies_device
-from .world import World, create_world, partition_massive_first, update_state
+from .world import (World, create_world, partition_massive_first,
+                    resolve_backend, update_state)
 
 __version__ = "0.1.0"
 
@@ -45,6 +46,7 @@ __all__ = [
     "make_galaxies_device",
     "World",
     "create_world",
+    "resolve_backend",
     "partition_massive_first",
     "update_state",
     "__version__",

@@ -31,7 +31,12 @@ def _add_scene_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--galaxies", type=int, default=3, help="galaxy count (main.c:44)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--state", help="resume from a .npz checkpoint instead of generating")
-    p.add_argument("--backend", choices=["jnp", "pallas", "pallas_fused", "pm", "p3m"], default=None)
+    p.add_argument("--backend",
+                   choices=["jnp", "pallas", "pallas_fused", "pm", "p3m",
+                            "auto"],
+                   default=None,
+                   help="force backend ('auto' = faster of exact direct sum "
+                        "/ p3m at this N, the main.c:55 scale mux)")
     p.add_argument("--dt", type=float, default=PHYS_STEP)
     p.add_argument("--precise", action="store_true",
                    help="exact sqrt+divide force math (reference shader semantics)")

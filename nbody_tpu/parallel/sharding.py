@@ -295,14 +295,14 @@ class ShardedWorld:
         mesh: Mesh | None = None,
         *,
         config: SimConfig = DEFAULT_SIM_CONFIG,
-        force_backend: Literal["jnp", "pallas", "pallas_ring", "pm", "p3m"] | None = None,
+        force_backend: Literal["jnp", "pallas", "pallas_ring", "pm", "p3m",
+                               "auto"] | None = None,
     ):
         self.mesh = mesh if mesh is not None else make_mesh()
         d = self.mesh.devices.size
         self.n_devices = d
         self.config = config
-        self.force_backend = _default_force_backend(force_backend)
-        force_backend = self.force_backend
+        force_backend = _default_force_backend(force_backend)
 
         from ..types import DTYPE
         from ..world import _create_padded_state
@@ -315,6 +315,14 @@ class ShardedWorld:
         n = pos0.shape[0]
         # the only device->host transfer at creation: one scalar
         mass_len = int(jax.device_get(jnp.count_nonzero(mass0 > 0.0)))
+        if force_backend == "auto":
+            # Global-size mux, as on a single chip (world.resolve_backend):
+            # pair work total*mass_len splits evenly over the ring; the grid
+            # backends' fixed mesh cost replicates per device — the same
+            # measured crossover applies per chip.
+            from ..world import resolve_backend
+            force_backend = resolve_backend("auto", n, mass_len)
+        self.force_backend = force_backend
 
         s_loc, t_loc, src_len, n_pad = shard_layout(n, mass_len, config, d)
 
@@ -369,8 +377,11 @@ class ShardedWorld:
         d = mesh.devices.size
         self.n_devices = d
         self.config = config
-        self.force_backend = _default_force_backend(force_backend)
-        force_backend = self.force_backend
+        force_backend = _default_force_backend(force_backend)
+        if force_backend == "auto":
+            from ..world import resolve_backend
+            force_backend = resolve_backend("auto", total_len, mass_len)
+        self.force_backend = force_backend
 
         s_loc, t_loc, src_len, n_pad = shard_layout(total_len, mass_len, config, d)
         if pos.shape != (n_pad, 2):

@@ -84,8 +84,10 @@ def record_trajectory(
 ) -> np.ndarray:
     """Advance `world` by frames*steps_per_frame substeps, returning captured
     positions as host (frames, total_len, 2). The world's state is updated."""
-    backend = backend or world.default_backend
-    from .world import effective_src_len
+    from .world import effective_src_len, resolve_backend
+
+    backend = resolve_backend(backend or world.default_backend,
+                              world.total_len, world.mass_len)
 
     state, traj = record_states(
         world.state, world.gm, world.valid, jnp.float32(dt),

@@ -47,7 +47,7 @@ from .types import (
     round_up,
 )
 
-Backend = Literal["jnp", "pallas", "pallas_fused", "pm", "p3m"]
+Backend = Literal["jnp", "pallas", "pallas_fused", "pm", "p3m", "auto"]
 
 
 # Measured on TPU v5e (docs/BENCHMARKS.md, docs/DESIGN.md §3): the round-2
@@ -65,6 +65,28 @@ def default_backend_for(n: int) -> "Backend":
     if PALLAS_CROSSOVER_N is None:
         return "jnp"
     return "pallas" if n >= PALLAS_CROSSOVER_N else "jnp"
+
+
+# The scale mux that DID materialize (the reference's own heuristic axis,
+# main.c:55: CPU below N ~ 500, GPU above): exact direct sum costs
+# total_len*mass_len pair evaluations per substep at the VPU ceiling
+# (~2.4e11 pairs/s/chip), while p3m delivers near-exact accuracy
+# (|Δa|/|a| ~ 5e-4 at horizon, docs/BENCHMARKS.md) in roughly linear time
+# plus a fixed mesh cost. Bracketed by the v5e BENCHMARKS rows at default
+# config (direct sum 8.8 ms at N=65k vs p3m 73 ms at 262k where direct
+# costs 140 ms); the break-even is pinned same-session by
+# scripts/tune_r3h_crossover.py. "auto" picks direct sum at or below this
+# pair count, p3m above.
+AUTO_P3M_MIN_PAIRS = 16_000_000_000
+
+
+def resolve_backend(backend: "Backend", total_len: int,
+                    mass_len: int) -> "Backend":
+    """Resolve ``"auto"`` to the faster backend of equivalent accuracy at
+    this problem size; every concrete backend passes through unchanged."""
+    if backend != "auto":
+        return backend
+    return "jnp" if total_len * mass_len <= AUTO_P3M_MIN_PAIRS else "p3m"
 
 
 def source_pad_len(mass_len: int, tile_sources: int) -> int:
@@ -398,14 +420,16 @@ class World:
 
         if default_backend is None:
             default_backend = default_backend_for(n)
-        self.default_backend: Backend = default_backend
+        self.default_backend: Backend = resolve_backend(
+            default_backend, n, mass_len)
         self._host_cache: Particles | None = None
 
     # -- update ---------------------------------------------------------
     def update(self, dt: float, n: int = 1, backend: Backend | None = None) -> "World":
         if n <= 0:
             return self
-        backend = backend or self.default_backend
+        backend = resolve_backend(backend or self.default_backend,
+                                  self.total_len, self.mass_len)
         self.state = update_state(
             self.state,
             self.gm,

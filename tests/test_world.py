@@ -210,3 +210,49 @@ def test_device_creation_matches_host_creation():
     np.testing.assert_array_equal(np.asarray(w_dev.state.pos),
                                   np.asarray(w_host.state.pos))
     np.testing.assert_array_equal(np.asarray(w_dev.gm), np.asarray(w_host.gm))
+
+
+# --- "auto" backend: the scale mux (reference main.c:55 analogue) ---
+
+@pytest.mark.smoke
+def test_auto_backend_resolves_by_scale(monkeypatch):
+    """'auto' picks exact direct sum at small N and p3m above the measured
+    pair-count crossover; resolution happens at world creation AND on
+    explicit update(backend='auto')."""
+    from nbody_tpu import world as world_mod
+
+    scene = make_galaxies(1024, 1, seed=11)
+    w = create_world(scene, default_backend="auto")
+    assert w.default_backend == "jnp"  # 1024*512 pairs << crossover
+    w.update(0.01, 2)
+
+    # Lower the crossover under this scene: same inputs now resolve to p3m.
+    monkeypatch.setattr(world_mod, "AUTO_P3M_MIN_PAIRS", 1000)
+    cfg = SimConfig(pm_grid=64)
+    w2 = create_world(scene, config=cfg, default_backend="auto")
+    assert w2.default_backend == "p3m"
+    w2.update(0.01, 2)
+    assert np.isfinite(w2.particles.pos).all()
+
+    # update(backend="auto") re-resolves against the live threshold.
+    w3 = create_world(scene, config=cfg, default_backend="jnp")
+    w3.update(0.01, 1, backend="auto")
+    assert np.isfinite(w3.particles.pos).all()
+
+
+def test_auto_backend_sharded(monkeypatch):
+    """ShardedWorld accepts force_backend='auto' with the same global rule."""
+    from nbody_tpu import world as world_mod
+    from nbody_tpu.parallel import ShardedWorld, make_mesh
+
+    scene = make_galaxies(2048, 2, seed=3)
+    mesh = make_mesh()
+    sw = ShardedWorld(scene, mesh, force_backend="auto")
+    assert sw.force_backend == "jnp"
+
+    monkeypatch.setattr(world_mod, "AUTO_P3M_MIN_PAIRS", 1000)
+    cfg = SimConfig(pm_grid=64)
+    sw2 = ShardedWorld(scene, mesh, config=cfg, force_backend="auto")
+    assert sw2.force_backend == "p3m"
+    sw2.update(0.01, 2)
+    assert np.isfinite(sw2.particles.pos).all()
