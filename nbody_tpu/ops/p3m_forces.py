@@ -547,7 +547,8 @@ def p3m_acc_collective_from_bins(
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "grid", "rc_cells", "cell_capacity", "exact_targets", "precise"))
+    "grid", "rc_cells", "cell_capacity", "exact_targets", "precise",
+    "pp_chunk"))
 def p3m_acc(
     tgt_pos: jax.Array,     # (T, 2)
     tgt_radius: jax.Array,  # (T,)  per-target softening (reference semantics)

@@ -268,9 +268,18 @@ def _ring_step_shard(
     return pos, vel, acc
 
 
-def _default_force_backend(force_backend):
+def _default_force_backend(force_backend, total_len, mass_len, d):
     if force_backend is None:
         return "pallas" if jax.default_backend() == "tpu" else "jnp"
+    if force_backend == "auto":
+        # Per-chip mux (world.resolve_backend is the single-chip form):
+        # direct-sum pair work total*mass_len splits evenly over the ring,
+        # while the grid backends' fixed mesh cost replicates per device —
+        # so the measured single-chip crossover applies to the PER-CHIP
+        # pair count, and a D-mesh switches to p3m D× later in N².
+        from ..world import AUTO_P3M_MIN_PAIRS
+        per_chip = (total_len * mass_len) // max(d, 1)
+        return "jnp" if per_chip <= AUTO_P3M_MIN_PAIRS else "p3m"
     return force_backend
 
 
@@ -302,7 +311,6 @@ class ShardedWorld:
         d = self.mesh.devices.size
         self.n_devices = d
         self.config = config
-        force_backend = _default_force_backend(force_backend)
 
         from ..types import DTYPE
         from ..world import _create_padded_state
@@ -315,14 +323,8 @@ class ShardedWorld:
         n = pos0.shape[0]
         # the only device->host transfer at creation: one scalar
         mass_len = int(jax.device_get(jnp.count_nonzero(mass0 > 0.0)))
-        if force_backend == "auto":
-            # Global-size mux, as on a single chip (world.resolve_backend):
-            # pair work total*mass_len splits evenly over the ring; the grid
-            # backends' fixed mesh cost replicates per device — the same
-            # measured crossover applies per chip.
-            from ..world import resolve_backend
-            force_backend = resolve_backend("auto", n, mass_len)
-        self.force_backend = force_backend
+        self.force_backend = force_backend = _default_force_backend(
+            force_backend, n, mass_len, d)
 
         s_loc, t_loc, src_len, n_pad = shard_layout(n, mass_len, config, d)
 
@@ -377,11 +379,8 @@ class ShardedWorld:
         d = mesh.devices.size
         self.n_devices = d
         self.config = config
-        force_backend = _default_force_backend(force_backend)
-        if force_backend == "auto":
-            from ..world import resolve_backend
-            force_backend = resolve_backend("auto", total_len, mass_len)
-        self.force_backend = force_backend
+        self.force_backend = force_backend = _default_force_backend(
+            force_backend, total_len, mass_len, d)
 
         s_loc, t_loc, src_len, n_pad = shard_layout(total_len, mass_len, config, d)
         if pos.shape != (n_pad, 2):

@@ -19,8 +19,10 @@ NS = ([int(a) for a in sys.argv[1:]]
 for n in NS:
     scene = nb.make_galaxies(n, 2, seed=1)
     row = {}
+    mass_len = None
     for backend in ("jnp", "p3m"):
         w = nb.create_world(scene, default_backend=backend)
+        mass_len = w.mass_len
         w.update(DT, 2)
         w.block_until_ready()  # compile + warm
         best = float("inf")
@@ -31,7 +33,7 @@ for n in NS:
             best = min(best, (time.perf_counter() - t0) * 1e3 / STEPS)
         row[backend] = best
         del w
-    pairs = n * (n // 2)
+    pairs = n * mass_len  # actual massive count (scene-dependent fraction)
     pick = "jnp" if row["jnp"] <= row["p3m"] else "p3m"
     print(f"N={n:7d} pairs={pairs:.2e}: jnp {row['jnp']:7.1f} ms  "
           f"p3m {row['p3m']:7.1f} ms  -> {pick}", flush=True)

@@ -566,3 +566,24 @@ def test_gather_blocks_equals_scatter_blocks():
     (got,) = _gather_blocks([(jnp.asarray(vals), 7.0)],
                             jnp.asarray(counts), gc, cap)
     np.testing.assert_array_equal(np.asarray(got), legacy)
+
+
+@pytest.mark.smoke
+def test_public_p3m_acc_accepts_pp_chunk():
+    """pp_chunk is a static arg of the jitted public p3m_acc (regression:
+    it was added to the signature without static_argnames, so any
+    non-None value crashed at trace time)."""
+    from nbody_tpu.ops.p3m_forces import p3m_acc
+
+    scene = nb.make_galaxies(1024, 1, seed=9)
+    w = nb.create_world(scene)
+    pos = w.state.pos[: w.total_len]
+    rad = w.state.radius[: w.total_len]
+    gm = w.gm[: w.mass_len]
+    a0 = np.asarray(p3m_acc(pos, rad, pos[: w.mass_len], gm,
+                            grid=64, rc_cells=4, cell_capacity=32))
+    a1 = np.asarray(p3m_acc(pos, rad, pos[: w.mass_len], gm,
+                            grid=64, rc_cells=4, cell_capacity=32,
+                            pp_chunk=16))
+    scale = np.abs(a0).max() + 1e-30
+    assert np.abs(a1 - a0).max() / scale < 1e-6

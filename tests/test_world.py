@@ -241,18 +241,35 @@ def test_auto_backend_resolves_by_scale(monkeypatch):
 
 
 def test_auto_backend_sharded(monkeypatch):
-    """ShardedWorld accepts force_backend='auto' with the same global rule."""
+    """ShardedWorld resolves 'auto' on the PER-CHIP pair count: direct-sum
+    work splits evenly over the ring while the grid backends' mesh cost
+    replicates per device, so a D-mesh switches to p3m D× later in N²."""
     from nbody_tpu import world as world_mod
     from nbody_tpu.parallel import ShardedWorld, make_mesh
 
     scene = make_galaxies(2048, 2, seed=3)
     mesh = make_mesh()
+    d = mesh.devices.size
     sw = ShardedWorld(scene, mesh, force_backend="auto")
     assert sw.force_backend == "jnp"
 
+    w_probe = create_world(scene)
+    global_pairs = w_probe.total_len * w_probe.mass_len
+
+    # Threshold below the per-chip pair count: both single and sharded
+    # resolve to p3m.
     monkeypatch.setattr(world_mod, "AUTO_P3M_MIN_PAIRS", 1000)
     cfg = SimConfig(pm_grid=64)
     sw2 = ShardedWorld(scene, mesh, config=cfg, force_backend="auto")
     assert sw2.force_backend == "p3m"
     sw2.update(0.01, 2)
     assert np.isfinite(sw2.particles.pos).all()
+
+    # Threshold between per-chip and global pair counts: a single chip
+    # would switch to p3m, but each of the D chips still has less direct
+    # work than the crossover — the mesh stays on direct sum.
+    assert d > 1
+    monkeypatch.setattr(world_mod, "AUTO_P3M_MIN_PAIRS", global_pairs // 2)
+    assert create_world(scene, default_backend="auto").default_backend == "p3m"
+    sw3 = ShardedWorld(scene, mesh, force_backend="auto")
+    assert sw3.force_backend == "jnp"
