@@ -60,3 +60,14 @@ def test_pm_grid_auto(tmp_path, capsys):
     main(["run", "--n", "250", "--galaxies", "1", "--steps", "2",
           "--backend", "pm", "--pm-grid", "auto", "--save", state])
     assert "pm_grid auto -> 256" in capsys.readouterr().err
+
+
+def test_backend_auto_cli(tmp_path):
+    """--backend auto resolves through the scale mux (jnp at tiny N) and
+    completes a run end-to-end."""
+    state = str(tmp_path / "auto.npz")
+    main(["run", "--n", "250", "--galaxies", "1", "--steps", "3",
+          "--backend", "auto", "--save", state])
+    import numpy as np
+    with np.load(state) as z:
+        assert np.isfinite(z["pos"]).all()
