@@ -99,3 +99,37 @@ def test_random_sharded_p3m_matches_single(seed):
     scale = max(1.0, np.abs(a).max())
     assert np.abs(a - b).max() / scale < 5e-6, (
         f"sharded p3m diverged at seed {seed} (D={d}, rebin={rebin})")
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_random_world_p3m_tracks_exact(seed):
+    """p3m on RANDOM (non-clustered) worlds: the adversarial occupancy case
+    for the pp_chunk empty-skip (most cells active) and for the adaptive
+    box. Near-exact tolerance, invariants, both pp_chunk settings agree."""
+    from nbody_tpu.types import SimConfig
+
+    rng = np.random.default_rng(1000 + seed)
+    n = int(rng.integers(16, 120))
+    p = random_particles(rng, n)
+    dt = float(rng.uniform(0.001, 0.02))
+    steps = int(rng.integers(1, 6))
+
+    cfg = SimConfig(tile_targets=8, tile_sources=128, pm_grid=64,
+                    p3m_cell_capacity=32)
+    ref_w = create_world(p, config=cfg)
+    ref_w.update(dt, steps, backend="jnp")
+    ref = np.asarray(ref_w.particles.pos)
+    scale = max(1.0, np.abs(ref).max())
+
+    outs = {}
+    for pp_chunk in (64, 0):
+        c = SimConfig(tile_targets=8, tile_sources=128, pm_grid=64,
+                      p3m_cell_capacity=32, p3m_pp_chunk=pp_chunk)
+        w = create_world(p, config=c)
+        w.update(dt, steps, backend="p3m")
+        check_state(w.state, context=f"p3m chunk={pp_chunk} seed={seed}")
+        validate_world_invariants(w)
+        outs[pp_chunk] = np.asarray(w.particles.pos)
+        assert np.abs(outs[pp_chunk] - ref).max() / scale < 5e-3, (
+            f"p3m diverged from exact at seed {seed}")
+    assert np.abs(outs[64] - outs[0]).max() / scale < 1e-5
