@@ -568,7 +568,6 @@ def test_gather_blocks_equals_scatter_blocks():
     np.testing.assert_array_equal(np.asarray(got), legacy)
 
 
-@pytest.mark.smoke
 def test_public_p3m_acc_accepts_pp_chunk():
     """pp_chunk is a static arg of the jitted public p3m_acc (regression:
     it was added to the signature without static_argnames, so any
