@@ -50,11 +50,21 @@ def rollout(
     p3m_cell_capacity: int = 96,
     p3m_exact_targets: int = 64,
     p3m_rebin_interval: int = 1,
-    p3m_pp_chunk: int = 64,
+    p3m_pp_chunk: int = 0,
 ):
     """Differentiable n_steps-substep rollout. Inputs must be in
     massive-first order (sources = rows [0, mass_len)). Returns final
     (pos, vel). Differentiable w.r.t. pos, vel, mass, radius, and dt.
+
+    ``p3m_pp_chunk`` defaults to 0 (no PP chunk skipping) here, unlike the
+    primal path's ``SimConfig.p3m_pp_chunk=64``: the skip predicate tests
+    source gm != 0, and ``lax.cond``'s VJP returns a zero cotangent through
+    the skipped branch — so with chunking enabled, d(loss)/d(mass) of an
+    exactly-massless source whose whole chunk neighborhood is massless
+    loses its (tiny) PP component. Primal values and all position/velocity
+    gradients are identical either way (the PP force is identically zero
+    throughout a skipped chunk, so those cotangents are correctly zero);
+    opt back in with p3m_pp_chunk=64 when not differentiating w.r.t. mass.
 
     backend="pallas" runs the forward force through the Pallas kernel with a
     custom VJP (backward = adjoint of the identical jnp math); inputs are
@@ -268,10 +278,13 @@ def rollout_sharded(
     p3m_rc_cells: int = 4,
     p3m_cell_capacity: int = 96,
     p3m_exact_targets: int = 64,
-    p3m_pp_chunk: int = 64,
+    p3m_pp_chunk: int = 0,
     chunk: int = 512,
 ):
     """Differentiable rollout sharded over a 1-D device mesh.
+
+    ``p3m_pp_chunk`` defaults to 0 for gradient exactness w.r.t. mass —
+    see the note on :func:`rollout`.
 
     Multi-chip counterpart of :func:`rollout` (the reference cannot express
     either): the whole n_steps scan runs inside ONE ``shard_map``, with the

@@ -366,6 +366,40 @@ def p3m_acc_collective(
         axis_name=axis_name, n_devices=n_devices)
 
 
+def _composite_index_maps(order_s, counts_s, order_t, cid_t, rank_t,
+                          counts_t, cap, grank_t=None):
+    """Composite pack/unpack index tables (scripts/tune_r3e_block_pack.py):
+    slot -> original-row maps for sources and targets plus the
+    original-order unpack (flat index + validity). All position-independent
+    given the cell orders, so ``p3m_bins``/``p3m_bins_collective`` build
+    them once per rebin. ``grank_t`` (rank including the cross-device cell
+    offset) folds the collective global-rank drop rule into the unpack
+    mask; single-device callers omit it (grank == rank)."""
+    slot = jnp.arange(cap, dtype=jnp.int32)
+
+    def oidx_of(order, counts):
+        starts = (jnp.cumsum(counts) - counts).astype(jnp.int32)
+        n = order.shape[0]
+        oidx = order[jnp.minimum(starts[:, None] + slot[None, :], n - 1)]
+        okc = slot[None, :] < jnp.minimum(counts, cap)[:, None]
+        return oidx, okc
+
+    out = {}
+    out["oidx_s"], out["ok_s"] = oidx_of(order_s, counts_s)
+    out["oidx_t"], out["ok_t"] = oidx_of(order_t, counts_t)
+    # unpack: original-order flat index + validity via one payload sort
+    # (the inverse permutation _pp_unpack would otherwise pay every substep)
+    _, inv = jax.lax.sort(
+        (order_t, jnp.arange(order_t.shape[0], dtype=jnp.int32)),
+        num_keys=1)
+    out["unpack_flat"] = (cid_t * cap + jnp.minimum(rank_t, cap - 1))[inv]
+    ok_t = rank_t < cap
+    if grank_t is not None:
+        ok_t = ok_t & (grank_t < cap)
+    out["unpack_ok"] = ok_t[inv]
+    return out
+
+
 def p3m_bins_collective(
     tgt_pos, tgt_radius, src_gm_row, *,
     grid: int, rc_cells: int, cell_capacity: int, exact_targets: int,
@@ -424,27 +458,11 @@ def p3m_bins_collective(
         bins["sgm"] = sgm_local
 
     if composite:
-        # composite pack/unpack indices (the single-device
-        # ``composite_capacity`` forms, tune_r3e) — per shard, with the
-        # cross-device global-rank drop rule folded into the unpack mask
-        slot = jnp.arange(cap, dtype=jnp.int32)
-
-        def oidx_of(order, counts):
-            starts = (jnp.cumsum(counts) - counts).astype(jnp.int32)
-            n = order.shape[0]
-            oidx = order[jnp.minimum(starts[:, None] + slot[None, :], n - 1)]
-            okc = slot[None, :] < jnp.minimum(counts, cap)[:, None]
-            return oidx, okc
-
-        bins["oidx_s"], bins["ok_s"] = oidx_of(order_s, counts_s)
-        bins["oidx_t"], bins["ok_t"] = oidx_of(order_t, counts_t)
-        _, inv = jax.lax.sort(
-            (order_t, jnp.arange(order_t.shape[0], dtype=jnp.int32)),
-            num_keys=1)
-        grank_t = rank_t + bins["goff"][cid_t]
-        bins["unpack_flat"] = (cid_t * cap
-                               + jnp.minimum(rank_t, cap - 1))[inv]
-        bins["unpack_ok"] = ((rank_t < cap) & (grank_t < cap))[inv]
+        # composite pack/unpack indices — per shard, with the cross-device
+        # global-rank drop rule folded into the unpack mask
+        bins.update(_composite_index_maps(
+            order_s, counts_s, order_t, cid_t, rank_t, counts_t, cap,
+            grank_t=rank_t + bins["goff"][cid_t]))
 
     if exact_targets:
         if big_bins is not None:
@@ -625,27 +643,8 @@ def p3m_bins(
         # to build at N=1M but save ~15 ms per substep — net win exactly when
         # reused across substeps, so callers request them iff
         # p3m_rebin_interval > 1. All position-independent given the orders.
-        cap = composite_capacity
-        slot = jnp.arange(cap, dtype=jnp.int32)
-
-        def oidx_of(order, counts):
-            starts = (jnp.cumsum(counts) - counts).astype(jnp.int32)
-            n = order.shape[0]
-            oidx = order[jnp.minimum(starts[:, None] + slot[None, :], n - 1)]
-            okc = slot[None, :] < jnp.minimum(counts, cap)[:, None]
-            return oidx, okc
-
-        extra["oidx_s"], extra["ok_s"] = oidx_of(order_s, counts_s)
-        extra["oidx_t"], extra["ok_t"] = oidx_of(order_t, counts_t)
-        # unpack: original-order flat index + validity (grank == rank here;
-        # inv via one payload sort — the same primitive _pp_unpack would
-        # otherwise pay every substep)
-        _, inv = jax.lax.sort(
-            (order_t, jnp.arange(order_t.shape[0], dtype=jnp.int32)),
-            num_keys=1)
-        extra["unpack_flat"] = (cid_t * cap
-                                + jnp.minimum(rank_t, cap - 1))[inv]
-        extra["unpack_ok"] = (rank_t < cap)[inv]
+        extra = _composite_index_maps(order_s, counts_s, order_t, cid_t,
+                                      rank_t, counts_t, composite_capacity)
     if big is None:
         # radius is constant in a run; loop callers precompute this once.
         # The selection KEY masks padding rows to -inf so they never

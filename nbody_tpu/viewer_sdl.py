@@ -172,6 +172,7 @@ class SdlViewer(ControlState):
     # -- the loop ----------------------------------------------------------
     def run(self, max_frames: int | None = None) -> None:
         """Run the windowed loop until quit (or ``max_frames``, for tests)."""
+        saved_driver = os.environ.get("SDL_VIDEODRIVER")
         if self.video_driver is not None:
             os.environ["SDL_VIDEODRIVER"] = self.video_driver
         import pygame
@@ -195,3 +196,10 @@ class SdlViewer(ControlState):
                 self.frames_drawn += 1
         finally:
             pygame.quit()
+            # SDL reads the env at init time; don't leak a 'dummy' driver
+            # into later SdlViewers in the same process
+            if self.video_driver is not None:
+                if saved_driver is None:
+                    os.environ.pop("SDL_VIDEODRIVER", None)
+                else:
+                    os.environ["SDL_VIDEODRIVER"] = saved_driver

@@ -9,7 +9,7 @@
 # claim "the suite passes on real hardware" is re-verifiable, not historical.
 #
 # Usage: bash scripts/tpu_smoke.sh [output-file]
-set -u
+set -u -o pipefail  # without pipefail the `| tee` would mask pytest failures
 cd "$(dirname "$0")/.."
 OUT="${1:-TPU_TESTS_smoke.txt}"
 TESTS=(

@@ -234,3 +234,47 @@ def test_p3m_rollout_rebin_value_and_grad_parity():
     ref = np.asarray(w2.particles.pos)
     s = np.abs(ref).max()
     np.testing.assert_allclose(np.asarray(p1) / s, ref / s, atol=1e-6)
+
+
+def test_pp_chunk_mass_gradient_semantics():
+    """The PP chunk skip is primal-exact but NOT gradient-exact w.r.t. the
+    mass of an exactly-massless source: lax.cond's VJP returns a zero
+    cotangent through a skipped chunk, so d(acc)/d(gm) at gm == 0 loses its
+    PP component when the source's whole chunk neighborhood is massless.
+    This is why rollout/rollout_sharded default p3m_pp_chunk to 0. Pin both
+    halves: (a) the unchunked gradient matches a central finite difference
+    of the (chunked, primal-exact) loss; (b) the chunked gradient misses
+    exactly the PP part."""
+    from nbody_tpu.ops.p3m_forces import p3m_acc
+
+    # tracer target + zero-gm source isolated at the origin; massive
+    # sources and the exact-core decoy far away in the opposite grid corner
+    tgt_pos = jnp.array([[0.0, 0.0], [1000.0, 1000.0]], jnp.float32)
+    tgt_radius = jnp.array([0.5, 10.0], jnp.float32)
+    src_pos = jnp.array(
+        [[1.0, 0.0], [1000.0, 1000.0], [980.0, 1010.0], [1010.0, 985.0]],
+        jnp.float32)
+    src_gm = jnp.array([0.0, 10.0, 10.0, 10.0], jnp.float32)
+    kw = dict(grid=64, rc_cells=4, cell_capacity=8, exact_targets=1)
+
+    def loss(gm, pp_chunk):
+        acc = p3m_acc(tgt_pos, tgt_radius, src_pos, gm, **kw,
+                      pp_chunk=pp_chunk)
+        return acc[0, 0]  # x-acceleration of the tracer target
+
+    g_none = np.asarray(jax.grad(lambda g: loss(g, None))(src_gm))
+    g_chunk = np.asarray(jax.grad(lambda g: loss(g, 16))(src_gm))
+
+    eps = 1e-2
+    e0 = jnp.zeros_like(src_gm).at[0].set(eps)
+    fd = (float(loss(src_gm + e0, 16)) - float(loss(src_gm - e0, 16))) / (2 * eps)
+
+    # (a) unchunked AD == truth (the primal is continuous and exact even
+    #     when chunked, so its FD slope is the true derivative)
+    np.testing.assert_allclose(g_none[0], fd, rtol=5e-2)
+    # the PP term at d=1 (radius softening 0.5) dominates: ~(1.5)^-1.5
+    assert abs(g_none[0]) > 0.3
+    # (b) chunked AD silently drops that PP component
+    assert abs(g_chunk[0]) < 0.1 * abs(g_none[0])
+    # massive sources sit in active chunks: their gradients agree
+    np.testing.assert_allclose(g_chunk[1:], g_none[1:], rtol=1e-4)
