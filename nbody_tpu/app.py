@@ -40,8 +40,11 @@ def _add_scene_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--dt", type=float, default=PHYS_STEP)
     p.add_argument("--precise", action="store_true",
                    help="exact sqrt+divide force math (reference shader semantics)")
-    p.add_argument("--integrator", choices=["euler", "leapfrog"], default="euler",
-                   help="euler = reference-exact; leapfrog = 2nd-order symplectic")
+    p.add_argument("--integrator", choices=["euler", "leapfrog", "yoshida4"],
+                   default="euler",
+                   help="euler = reference-exact; leapfrog = 2nd-order "
+                        "symplectic; yoshida4 = 4th-order symplectic "
+                        "(3 force evals/substep)")
     p.add_argument("--pm-grid", default=512,
                    type=lambda s: s if s == "auto" else int(s),
                    help="particle-mesh resolution (backend=pm/p3m), or "

@@ -20,7 +20,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from . import forces
+from . import forces, integrators
 from .types import G, Particles
 
 
@@ -29,7 +29,7 @@ from .types import G, Particles
     static_argnames=("n_steps", "mass_len", "precise", "remat", "g", "backend",
                      "pm_grid", "p3m_rc_cells", "p3m_cell_capacity",
                      "p3m_exact_targets", "p3m_rebin_interval",
-                     "p3m_pp_chunk"),
+                     "p3m_pp_chunk", "integrator"),
 )
 def rollout(
     pos: jax.Array,
@@ -51,10 +51,16 @@ def rollout(
     p3m_exact_targets: int = 64,
     p3m_rebin_interval: int = 1,
     p3m_pp_chunk: int = 0,
+    integrator: str = "euler",
 ):
     """Differentiable n_steps-substep rollout. Inputs must be in
     massive-first order (sources = rows [0, mass_len)). Returns final
     (pos, vel). Differentiable w.r.t. pos, vel, mass, radius, and dt.
+
+    ``integrator`` selects the time-stepping scheme (``"euler"`` —
+    reference-exact default — ``"leapfrog"``, or ``"yoshida4"``; see
+    nbody_tpu/integrators.py). All are pure compositions of the force
+    closure, so reverse-mode AD flows through each identically.
 
     ``p3m_pp_chunk`` defaults to 0 (no PP chunk skipping) here, unlike the
     primal path's ``SimConfig.p3m_pp_chunk=64``: the skip predicate tests
@@ -129,13 +135,14 @@ def rollout(
                                     if k_rebin > 1 else None))
 
         def one_step(p, v, bins):
-            acc = p3m_acc_from_bins(
-                bins, p, radius, p[:mass_len], gm, softening=pm_softening,
-                grid=pm_grid, rc_cells=p3m_rc_cells,
-                cell_capacity=p3m_cell_capacity, precise=precise,
-                pp_chunk=p3m_pp_chunk or None)
-            v = v + dt * acc
-            p = p + dt * v
+            def f(pp):
+                return p3m_acc_from_bins(
+                    bins, pp, radius, pp[:mass_len], gm,
+                    softening=pm_softening, grid=pm_grid,
+                    rc_cells=p3m_rc_cells, cell_capacity=p3m_cell_capacity,
+                    precise=precise, pp_chunk=p3m_pp_chunk or None)
+
+            p, v, _ = integrators.advance(integrator, f, p, v, dt)
             return p, v
 
         def make_block(steps):
@@ -163,9 +170,7 @@ def rollout(
 
     def step(carry, _):
         p, v = carry
-        acc = force(p)
-        v = v + dt * acc
-        p = p + dt * v
+        p, v, _ = integrators.advance(integrator, force, p, v, dt)
         return (p, v), None
 
     if remat:
@@ -178,7 +183,7 @@ def rollout(
 def _sharded_rollout_fn(mesh, n, n_pad, mass_len, n_steps, backend, precise,
                         remat, g, pm_grid, pm_softening, p3m_rc_cells,
                         p3m_cell_capacity, p3m_exact_targets, p3m_pp_chunk,
-                        chunk):
+                        chunk, integrator):
     from jax.sharding import PartitionSpec as P
 
     from .parallel.sharding import AXIS
@@ -229,9 +234,7 @@ def _sharded_rollout_fn(mesh, n, n_pad, mass_len, n_steps, backend, precise,
 
         def step(carry, _):
             p, v = carry
-            a = force(p)
-            v = v + dt * a
-            p = p + dt * v
+            p, v, _ = integrators.advance(integrator, force, p, v, dt)
             return (p, v), None
 
         if remat:
@@ -280,6 +283,7 @@ def rollout_sharded(
     p3m_exact_targets: int = 64,
     p3m_pp_chunk: int = 0,
     chunk: int = 512,
+    integrator: str = "euler",
 ):
     """Differentiable rollout sharded over a 1-D device mesh.
 
@@ -309,7 +313,7 @@ def rollout_sharded(
     fn = _sharded_rollout_fn(
         mesh, n, n_pad, mass_len, n_steps, backend, precise, remat, g,
         pm_grid, pm_softening, p3m_rc_cells, p3m_cell_capacity,
-        p3m_exact_targets, p3m_pp_chunk, chunk)
+        p3m_exact_targets, p3m_pp_chunk, chunk, integrator)
     return fn(pos, vel, mass, radius, jnp.asarray(dt, jnp.float32))
 
 

@@ -82,7 +82,35 @@ def summary(world) -> dict:
         "n": world.total_len,
         "mass_len": world.mass_len,
         "momentum": tuple(float(x) for x in total_momentum(st)),
+        "angular_momentum": float(angular_momentum(st)),
         "center_of_mass": tuple(float(x) for x in center_of_mass(st)),
         "kinetic_energy": float(kinetic_energy(st)),
         "potential_energy": float(potential_energy(st, world.mass_len)),
+        "suggested_dt": float(suggest_dt(st)),
     }
+
+
+@jax.jit
+def angular_momentum(state: Particles) -> jax.Array:
+    """Scalar z-angular momentum about the origin, L = sum m (x·vy - y·vx).
+    Conserved by the pair force up to the reference's asymmetric per-target
+    softening (same caveat as momentum) — a long-horizon drift diagnostic
+    the reference never exposes."""
+    x, y = state.pos[:, 0], state.pos[:, 1]
+    vx, vy = state.vel[:, 0], state.vel[:, 1]
+    return jnp.sum(state.mass * (x * vy - y * vx))
+
+
+@functools.partial(jax.jit, static_argnames=("eta",))
+def suggest_dt(state: Particles, *, eta: float = 0.1) -> jax.Array:
+    """Global timestep suggestion: eta · min_i sqrt(eps_i / |a_i|) over rows
+    with nonzero acceleration, where eps_i = sqrt(radius_i) is the softening
+    length (the reference adds ``radius`` linearly to d², sim_cpu.c:176, so
+    its square root is the length scale). The standard collisionless
+    softening criterion — resolve the fastest orbit through the softened
+    core. Uses the state's stored ``acc`` (valid after any substep); returns
+    +inf for a force-free world."""
+    a = jnp.sqrt(jnp.sum(state.acc**2, axis=1))
+    eps = jnp.sqrt(state.radius)
+    t = jnp.where(a > 0, jnp.sqrt(eps / jnp.maximum(a, 1e-30)), jnp.inf)
+    return eta * jnp.min(t)

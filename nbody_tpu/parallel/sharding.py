@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .. import forces
+from .. import forces, integrators
 from ..ops.pallas_forces import SOURCE_ALIGN, pallas_acc
 from ..types import Particles, SimConfig, DEFAULT_SIM_CONFIG, round_up
 
@@ -122,25 +122,15 @@ def _grid_device_loop(pos, vel, acc, radius, gm_row, valid, dt, n, *,
     ``fori_loop`` are fine), which lets p3m carry its frozen collective
     bins across substeps — enabling ``p3m_rebin_interval`` on meshes and
     hoisting the position-independent exact-core selection out of the
-    loop. Integrators (Euler / position-Verlet) run per device."""
-    leap = config.integrator == "leapfrog"
-
+    loop. Integrators (Euler / position-Verlet / yoshida4 DKD stages,
+    integrators.advance) run per device."""
     if force_backend == "pm":
         def force(p):
             return _pm_force_shard(p, radius, gm_row, valid, config=config)
 
         def body(_, carry):
             pos, vel, acc = carry
-            if leap:
-                pos_h = pos + (0.5 * dt) * vel
-                acc = force(pos_h)
-                vel = vel + dt * acc
-                pos = pos_h + (0.5 * dt) * vel
-            else:
-                acc = force(pos)
-                vel = vel + dt * acc
-                pos = pos + dt * vel
-            return pos, vel, acc
+            return integrators.advance(config.integrator, force, pos, vel, dt)
 
         return jax.lax.fori_loop(0, n, body, (pos, vel, acc))
 
@@ -173,16 +163,8 @@ def _grid_device_loop(pos, vel, acc, radius, gm_row, valid, dt, n, *,
 
     def substep(bins, carry):
         pos, vel, acc = carry
-        if leap:
-            pos_h = pos + (0.5 * dt) * vel
-            acc = force(bins, pos_h)
-            vel = vel + dt * acc
-            pos = pos_h + (0.5 * dt) * vel
-        else:
-            acc = force(bins, pos)
-            vel = vel + dt * acc
-            pos = pos + dt * vel
-        return pos, vel, acc
+        return integrators.advance(
+            config.integrator, lambda p: force(bins, p), pos, vel, dt)
 
     if k == 1:
         def body(_, carry):
@@ -469,7 +451,7 @@ class ShardedWorld:
             if force_backend == "pallas_ring":
                 step = functools.partial(
                     _fused_ring_step_shard, n_devices=d, config=config,
-                    pos_dt=0.5 if config.integrator == "leapfrog" else 1.0,
+                    pos_dt=1.0 if config.integrator == "euler" else 0.5,
                 )
             else:
                 step = functools.partial(
@@ -511,20 +493,25 @@ class ShardedWorld:
             )
 
         def substep(pos, vel, acc, radius, gm_src, valid, dt):
-            if config.integrator == "leapfrog":
-                # position-Verlet (DKD): force at the global midpoint
-                pos_h = pos + (0.5 * dt) * vel
+            ws = integrators.stage_weights(config.integrator)
+            if ws is None:
+                # semi-implicit Euler, whole substep inside the shard_map
+                return smapped(pos, vel, radius, gm_src, gather_src(pos),
+                               valid, dt)
+            for w in ws:
+                # position-Verlet (DKD) stage: force at the stage midpoint
+                dtk = dt if w == 1.0 else w * dt
+                pos_h = pos + (0.5 * dtk) * vel
                 if force_backend == "pallas_ring":
                     # kick + half-drift fused in-kernel (pos_dt=0.5)
-                    return smapped(pos_h, vel, radius, gm_src,
-                                   gather_src(pos_h), valid, dt)
-                acc = smapped_force(pos_h, radius, gm_src,
-                                    gather_src(pos_h), valid)
-                vel = vel + dt * acc
-                pos = pos_h + (0.5 * dt) * vel
-                return pos, vel, acc
-            return smapped(pos, vel, radius, gm_src, gather_src(pos),
-                           valid, dt)
+                    pos, vel, acc = smapped(pos_h, vel, radius, gm_src,
+                                            gather_src(pos_h), valid, dtk)
+                else:
+                    acc = smapped_force(pos_h, radius, gm_src,
+                                        gather_src(pos_h), valid)
+                    vel = vel + dtk * acc
+                    pos = pos_h + (0.5 * dtk) * vel
+            return pos, vel, acc
 
         self._substep = substep
 

@@ -142,8 +142,10 @@ class SimConfig:
     # Integrator: "euler" = the reference's semi-implicit Euler (v += a*dt;
     # x += v*dt — sim_cpu.c:192-193), first order; "leapfrog" = position-
     # Verlet / DKD (drift-kick-drift), second order and symplectic, one force
-    # evaluation per substep, no carried state. Beyond-reference option;
-    # default preserves exact reference semantics.
+    # evaluation per substep, no carried state; "yoshida4" = 4th-order
+    # symplectic composition of three weighted DKD stages (3 force
+    # evaluations per substep — see nbody_tpu/integrators.py). Beyond-
+    # reference options; default preserves exact reference semantics.
     integrator: str = "euler"
     # Particle-mesh far-field backend ("pm"): grid resolution (static; one
     # compile per value) and the global Plummer softening length (traced).
@@ -175,9 +177,10 @@ class SimConfig:
     p3m_pp_chunk: int = 64
 
     def __post_init__(self):
-        if self.integrator not in ("euler", "leapfrog"):
+        if self.integrator not in ("euler", "leapfrog", "yoshida4"):
             raise ValueError(
-                f"integrator must be 'euler' or 'leapfrog', got {self.integrator!r}"
+                "integrator must be 'euler', 'leapfrog', or 'yoshida4', "
+                f"got {self.integrator!r}"
             )
         if self.pm_grid < 64:
             raise ValueError(f"pm_grid must be >= 64, got {self.pm_grid}")

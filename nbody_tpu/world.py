@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import forces
+from . import forces, integrators
 from .ops.pallas_forces import (
     RESIDENT_SOURCE_MAX,
     SOURCE_ALIGN,
@@ -154,51 +154,45 @@ def _step(
     all targets see the same pre-step source positions (the reference's
     re-pack-per-substep / double-buffer rule, world.c:101-107, sim_gpu.c:19)
     hold automatically since ``state.pos`` is read once, functionally."""
-    leapfrog = config.integrator == "leapfrog"
+    ws = integrators.stage_weights(config.integrator)
     if backend in ("pallas", "pallas_fused"):
-        # whole substep (force + integrate) in ONE kernel launch
-        # (ops/pallas_forces.fused_substep). "pallas_fused" is an alias —
-        # since round 2 the flagship kernel integrates in-kernel natively.
-        pos_in = state.pos
-        if leapfrog:
-            # position-Verlet (DKD): drift half outside (one cheap fused
-            # elementwise pass), kick + half-drift inside the kernel.
-            pos_in = state.pos + (0.5 * dt) * state.vel
-        src = jnp.concatenate(
-            [jnp.transpose(pos_in[:src_len]), gm[None, :src_len]], axis=0)
-        pos, vel, acc = fused_substep(
-            dt, pos_in, state.vel, state.radius, valid, src,
-            tile_targets=config.kernel_tile_targets,
-            tile_sources=config.tile_sources,
-            precise=config.precise,
-            pos_dt=0.5 if leapfrog else 1.0,
-            interpret=interpret,
-        )
+        # whole substep (force + integrate) in ONE kernel launch per DKD
+        # stage (ops/pallas_forces.fused_substep). "pallas_fused" is an
+        # alias — since round 2 the flagship kernel integrates in-kernel
+        # natively. Euler = 1 launch; leapfrog = 1 (half-drift outside,
+        # kick + half-drift inside, pos_dt=0.5); yoshida4 = 3 weighted
+        # DKD launches (integrators.stage_weights).
+        pos, vel, acc = state.pos, state.vel, state.acc
+        for w in (1.0,) if ws is None else ws:
+            dtk = dt if w == 1.0 else w * dt
+            pos_in = pos if ws is None else pos + (0.5 * dtk) * vel
+            src = jnp.concatenate(
+                [jnp.transpose(pos_in[:src_len]), gm[None, :src_len]], axis=0)
+            pos, vel, acc = fused_substep(
+                dtk, pos_in, vel, state.radius, valid, src,
+                tile_targets=config.kernel_tile_targets,
+                tile_sources=config.tile_sources,
+                precise=config.precise,
+                pos_dt=1.0 if ws is None else 0.5,
+                interpret=interpret,
+            )
         return Particles(pos=pos, vel=vel, acc=acc,
                          mass=state.mass, radius=state.radius)
 
-    if leapfrog:
-        # position-Verlet (DKD): drift half, kick from midpoint force, drift
-        # half — second-order symplectic, one force evaluation per substep
-        half = 0.5 * dt
-        pos_h = state.pos + half * state.vel
-        mid = Particles(pos=pos_h, vel=state.vel, acc=state.acc,
-                        mass=state.mass, radius=state.radius)
-        acc = _force(mid, gm, src_len=src_len, config=config,
-                     backend=backend, interpret=interpret, valid=valid,
-                     p3m_bins=p3m_bins) * valid
-        vel = state.vel + dt * acc
-        pos = pos_h + half * vel
-        return Particles(pos=pos, vel=vel, acc=acc,
-                         mass=state.mass, radius=state.radius)
+    # Padding rows stay identically zero under Euler (replaces the shader's
+    # `if (i >= total_len) return` guard, particle_cs.glsl:30); the valid
+    # mask inside the force closure keeps that true for every DKD stage.
+    # p3m frozen bins (if any) are shared by all stages of a substep — the
+    # rebin drift bound already covers intra-substep stage motion.
+    def force_at(p):
+        at = Particles(pos=p, vel=state.vel, acc=state.acc,
+                       mass=state.mass, radius=state.radius)
+        return _force(at, gm, src_len=src_len, config=config,
+                      backend=backend, interpret=interpret, valid=valid,
+                      p3m_bins=p3m_bins) * valid
 
-    # Padding rows stay identically zero (replaces the shader's
-    # `if (i >= total_len) return` guard, particle_cs.glsl:30).
-    acc = _force(state, gm, src_len=src_len, config=config,
-                 backend=backend, interpret=interpret, valid=valid,
-                 p3m_bins=p3m_bins) * valid
-    vel = state.vel + dt * acc
-    pos = state.pos + dt * vel
+    pos, vel, acc = integrators.advance(
+        config.integrator, force_at, state.pos, state.vel, dt)
     return Particles(pos=pos, vel=vel, acc=acc, mass=state.mass, radius=state.radius)
 
 

@@ -19,6 +19,7 @@ TESTS=(
   "tests/test_world.py::test_backend_parity_jnp_vs_pallas"
   "tests/test_world.py::test_pallas_fused_backend_parity"
   "tests/test_world.py::test_backend_switching_is_seamless"
+  "tests/test_integrators.py::test_fused_kernel_yoshida4_matches_jnp"
   "tests/test_golden.py::test_golden_trajectory_reproduced"
   "tests/test_pm.py::test_galaxy_scene_error_envelope"
   "tests/test_pm.py::test_two_body_far_field_exact"

@@ -6,9 +6,11 @@ import pytest
 
 from nbody_tpu import G, create_world, make_galaxies, make_particles
 from nbody_tpu.diagnostics import (
+    angular_momentum,
     center_of_mass,
     kinetic_energy,
     potential_energy,
+    suggest_dt,
     summary,
     total_energy,
     total_momentum,
@@ -82,3 +84,37 @@ def test_summary_and_conservation_over_run():
     # total_energy helper agrees with the sum
     st = w.state.slice_to(w.total_len)
     assert float(total_energy(st, w.mass_len)) == pytest.approx(e1, rel=1e-6)
+
+
+def test_angular_momentum_golden():
+    p = two_body()
+    # L = sum m (x*vy - y*vx): row0 = 2*(0*0 - 0*1) = 0;
+    # row1 = 5*(3*2 - 4*0) = 30
+    assert float(angular_momentum(p)) == pytest.approx(30.0, rel=1e-6)
+
+
+def test_angular_momentum_drift_bounded_over_run():
+    w = create_world(make_galaxies(200, 1, seed=11), config=TINY)
+    st0 = w.state.slice_to(w.total_len)
+    l0 = float(angular_momentum(st0))
+    w.update(0.005, 200, backend="jnp")
+    l1 = float(angular_momentum(w.state.slice_to(w.total_len)))
+    # conserved up to the asymmetric softening + fp32 accumulation
+    assert abs(l1 - l0) / max(abs(l0), 1e-6) < 0.05
+
+
+def test_suggest_dt_scaling_and_edge_cases():
+    w = create_world(make_galaxies(200, 1, seed=3), config=TINY)
+    w.update(0.001, 1, backend="jnp")  # populate acc
+    st = w.state.slice_to(w.total_len)
+    dt1 = float(suggest_dt(st))
+    dt2 = float(suggest_dt(st, eta=0.2))
+    assert 0 < dt1 < np.inf
+    assert dt2 == pytest.approx(2 * dt1, rel=1e-6)
+
+    # force-free world: no finite orbit scale -> inf
+    drifters = make_particles(
+        np.array([[0.0, 0.0], [1.0, 0.0]], np.float32),
+        mass=np.zeros(2, np.float32),
+    )
+    assert np.isinf(float(suggest_dt(drifters)))
