@@ -22,7 +22,7 @@ import numpy as np
 from . import make_galaxies, create_world
 from .types import SimConfig
 from .render import fit_camera, render_frame, save_ppm
-from .utils.checkpoint import load_particles, save_world
+from .utils.checkpoint import load_particles, save_world_atomic
 from .viewer import PHYS_STEP, Viewer, export_animation
 
 
@@ -93,7 +93,14 @@ def cmd_run(args) -> None:
     w = _make_world(args)
     print(f"N={w.total_len} massive={w.mass_len} backend={w.default_backend}",
           file=sys.stderr)
+    # resume continues the checkpoint's step counter (run --state x --steps k
+    # runs k MORE steps; the saved `step` metadata accumulates across runs)
+    start = 0
+    if args.state:
+        with np.load(args.state) as d:
+            start = int(d["step"]) if "step" in d.files else 0
     t0 = time.perf_counter()
+    saved_at = None
     if args.traj:
         from .trajectory import record_trajectory, save_trajectory
 
@@ -103,6 +110,20 @@ def cmd_run(args) -> None:
         save_trajectory(args.traj, traj, dt=np.float32(args.dt),
                         steps_per_frame=np.int64(spf))
         print(f"wrote {traj.shape} trajectory to {args.traj}", file=sys.stderr)
+    elif args.checkpoint_every and args.save:
+        # preemption-safe long runs: atomic checkpoint every K substeps;
+        # kill the process at any point and `run --state <save>` continues
+        # from the last completed chunk
+        done = 0
+        while done < args.steps:
+            k = min(args.checkpoint_every, args.steps - done)
+            w.update(args.dt, k, backend=args.backend)
+            w.block_until_ready()
+            done += k
+            save_world_atomic(args.save, w, step=start + done)
+            saved_at = done
+            print(f"checkpoint @ step {start + done} -> {args.save}",
+                  file=sys.stderr)
     else:
         w.update(args.dt, args.steps, backend=args.backend)
         w.block_until_ready()
@@ -111,8 +132,8 @@ def cmd_run(args) -> None:
           f"({args.steps / dt_wall:.1f} steps/s, "
           f"{w.total_len * w.mass_len * args.steps / dt_wall:.3e} pairs/s)",
           file=sys.stderr)
-    if args.save:
-        save_world(args.save, w, step=args.steps)
+    if args.save and saved_at != args.steps:
+        save_world_atomic(args.save, w, step=start + args.steps)
         print(f"checkpoint -> {args.save}", file=sys.stderr)
 
 
@@ -152,6 +173,10 @@ def main(argv=None) -> None:
     _add_scene_args(p)
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--save", help="write final state checkpoint (.npz)")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="with --save: atomically rewrite the checkpoint "
+                        "every K substeps (crash/preemption-safe; resume "
+                        "with --state <save>); 0 = only at the end")
     p.add_argument("--traj", help="record trajectory to .npz")
     p.add_argument("--frames", type=int, default=100, help="trajectory frame count")
     p.set_defaults(fn=cmd_run)

@@ -43,6 +43,28 @@ def save_world(path: str, world, step: int = 0) -> None:
                    mass_len=np.int64(world.mass_len))
 
 
+def save_world_atomic(path: str, world, step: int = 0) -> None:
+    """Crash-safe checkpoint: write a temp .npz in the target directory,
+    then atomically rename over ``path`` (POSIX rename) — a process killed
+    mid-write can never leave a half-written file shadowing the previous
+    good checkpoint. Used by the CLI's --checkpoint-every loop."""
+    import os
+    import tempfile
+
+    target = os.path.abspath(path)
+    fd, tmp = tempfile.mkstemp(
+        suffix=".npz", prefix=".ckpt-", dir=os.path.dirname(target) or ".")
+    os.close(fd)
+    try:
+        save_particles(tmp, world.particles, step=np.int64(step),
+                       mass_len=np.int64(world.mass_len))
+        os.replace(tmp, target)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
 def load_world(path: str, world_cls=None, **world_kwargs):
     """Resume a World from a checkpoint. Returns (world, step)."""
     if world_cls is None:

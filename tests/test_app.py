@@ -30,7 +30,25 @@ def test_resume_from_state(tmp_path):
     main(["run", "--state", state, "--steps", "2", "--save", state2])
     with np.load(state2) as d:
         assert d["pos"].shape == (250, 2)
-        assert int(d["step"]) == 2
+        # the step counter accumulates across resumed runs (2 + 2)
+        assert int(d["step"]) == 4
+
+
+def test_checkpoint_every_parity_and_resume(tmp_path):
+    """--checkpoint-every chunks the run but must land on the identical
+    final state, and resuming from its checkpoint keeps counting steps."""
+    a = str(tmp_path / "a.npz")
+    b = str(tmp_path / "b.npz")
+    main(["run", "--n", "250", "--galaxies", "1", "--steps", "5",
+          "--save", a, "--checkpoint-every", "2"])
+    main(["run", "--n", "250", "--galaxies", "1", "--steps", "5", "--save", b])
+    with np.load(a) as da, np.load(b) as db:
+        np.testing.assert_array_equal(da["pos"], db["pos"])
+        assert int(da["step"]) == 5 == int(db["step"])
+    main(["run", "--state", a, "--steps", "3", "--checkpoint-every", "2",
+          "--save", a])
+    with np.load(a) as d:
+        assert int(d["step"]) == 8
 
 
 def test_gif_export(tmp_path):

@@ -129,3 +129,24 @@ def test_orbax_legacy_flat_layout_still_loads(tmp_path):
     assert step == 7 and w2.total_len == w.total_len
     np.testing.assert_array_equal(np.asarray(w2.state.pos),
                                   np.asarray(w.state.pos))
+
+
+def test_save_world_atomic_overwrites_cleanly(tmp_path):
+    """Atomic checkpoint: overwrites the previous file via rename and leaves
+    no temp residue in the directory."""
+    import os
+
+    from nbody_tpu import create_world, make_galaxies
+    from nbody_tpu.utils.checkpoint import load_world, save_world_atomic
+
+    w = create_world(make_galaxies(120, 1, seed=8))
+    path = str(tmp_path / "ck.npz")
+    save_world_atomic(path, w, step=1)
+    w.update(0.01, 2, backend="jnp")
+    save_world_atomic(path, w, step=3)
+    w2, step = load_world(path)
+    assert step == 3
+    import numpy as np
+    np.testing.assert_array_equal(
+        np.asarray(w2.particles.pos), np.asarray(w.particles.pos))
+    assert [f for f in os.listdir(tmp_path) if f.startswith(".ckpt-")] == []

@@ -31,8 +31,14 @@ def test_random_world_backend_consistency(seed):
     p = random_particles(rng, n)
     dt = float(rng.uniform(0.001, 0.05))
     steps = int(rng.integers(1, 8))
+    # the integrator axis rides the same fuzz net: all backends must agree
+    # under whichever composition the seed draws
+    import dataclasses
 
-    worlds = {b: create_world(p, config=TINY) for b in BACKENDS}
+    integ = rng.choice(["euler", "leapfrog", "yoshida4"])
+    cfg = dataclasses.replace(TINY, integrator=str(integ))
+
+    worlds = {b: create_world(p, config=cfg) for b in BACKENDS}
     for b, w in worlds.items():
         w.update(dt, steps, backend=b)
         check_state(w.state, context=f"{b} seed={seed}")

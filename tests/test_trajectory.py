@@ -115,3 +115,19 @@ def test_p3m_capture_matches_update_and_honors_rebin():
     w3 = create_world(scene, config=cfg)
     w3.update(0.01, 9, backend="p3m")
     np.testing.assert_array_equal(traj[2], np.asarray(w3.particles.pos))
+
+
+def test_record_matches_stepping_yoshida4():
+    """Fused capture goes through world._step, so the integrator composition
+    (3 weighted DKD stages/substep) must match step-by-step updates exactly."""
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY, integrator="yoshida4")
+    scene = make_galaxies(250, 1, seed=4)
+    w1 = create_world(scene, config=cfg)
+    w2 = create_world(scene, config=cfg)
+
+    traj = record_trajectory(w1, 0.01, frames=4, steps_per_frame=3, backend="jnp")
+    for k in range(4):
+        w2.update(0.01, 3, backend="jnp")
+        np.testing.assert_array_equal(traj[k], np.asarray(w2.particles.pos))
