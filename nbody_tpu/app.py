@@ -86,13 +86,33 @@ def _make_world(args):
                        p3m_exact_targets=args.p3m_exact_targets,
                        p3m_rebin_interval=args.p3m_rebin,
                        p3m_pp_chunk=args.p3m_pp_chunk)
+    if getattr(args, "shard", False):
+        # multi-chip: shard the run over every visible device (pod slices;
+        # on one chip this degenerates to a 1-device mesh). The backend is
+        # fixed at construction ('pallas' maps to the fused RDMA ring).
+        from .parallel.sharding import ShardedWorld, make_mesh
+
+        backend = {"pallas": "pallas_ring",
+                   "pallas_fused": "pallas_ring"}.get(args.backend,
+                                                      args.backend)
+        return ShardedWorld(particles, make_mesh(), config=config,
+                            force_backend=backend)
     return create_world(particles, config=config, default_backend=args.backend)
 
 
 def cmd_run(args) -> None:
     w = _make_world(args)
-    print(f"N={w.total_len} massive={w.mass_len} backend={w.default_backend}",
+    sharded = getattr(args, "shard", False)
+    backend = (f"{w.force_backend} x{w.n_devices}dev" if sharded
+               else w.default_backend)
+    print(f"N={w.total_len} massive={w.mass_len} backend={backend}",
           file=sys.stderr)
+
+    def advance(k):
+        if sharded:
+            w.update(args.dt, k)
+        else:
+            w.update(args.dt, k, backend=args.backend)
     # resume continues the checkpoint's step counter (run --state x --steps k
     # runs k MORE steps; the saved `step` metadata accumulates across runs)
     start = 0
@@ -102,11 +122,17 @@ def cmd_run(args) -> None:
     t0 = time.perf_counter()
     saved_at = None
     if args.traj:
-        from .trajectory import record_trajectory, save_trajectory
+        from .trajectory import save_trajectory
 
         spf = max(1, args.steps // max(1, args.frames))
         frames = args.steps // spf
-        traj = record_trajectory(w, args.dt, frames, spf, backend=args.backend)
+        if sharded:
+            traj = w.record(args.dt, frames, spf)
+        else:
+            from .trajectory import record_trajectory
+
+            traj = record_trajectory(w, args.dt, frames, spf,
+                                     backend=args.backend)
         save_trajectory(args.traj, traj, dt=np.float32(args.dt),
                         steps_per_frame=np.int64(spf))
         print(f"wrote {traj.shape} trajectory to {args.traj}", file=sys.stderr)
@@ -117,7 +143,7 @@ def cmd_run(args) -> None:
         done = 0
         while done < args.steps:
             k = min(args.checkpoint_every, args.steps - done)
-            w.update(args.dt, k, backend=args.backend)
+            advance(k)
             w.block_until_ready()
             done += k
             save_world_atomic(args.save, w, step=start + done)
@@ -125,7 +151,7 @@ def cmd_run(args) -> None:
             print(f"checkpoint @ step {start + done} -> {args.save}",
                   file=sys.stderr)
     else:
-        w.update(args.dt, args.steps, backend=args.backend)
+        advance(args.steps)
         w.block_until_ready()
     dt_wall = time.perf_counter() - t0
     print(f"{args.steps} steps in {dt_wall:.2f}s "
@@ -173,6 +199,10 @@ def main(argv=None) -> None:
     _add_scene_args(p)
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--save", help="write final state checkpoint (.npz)")
+    p.add_argument("--shard", action="store_true",
+                   help="shard the run over every visible device "
+                        "(ShardedWorld ring/collective backends; pod "
+                        "slices — a 1-device mesh on a single chip)")
     p.add_argument("--checkpoint-every", type=int, default=0,
                    help="with --save: atomically rewrite the checkpoint "
                         "every K substeps (crash/preemption-safe; resume "
