@@ -114,3 +114,76 @@ def suggest_dt(state: Particles, *, eta: float = 0.1) -> jax.Array:
     eps = jnp.sqrt(state.radius)
     t = jnp.where(a > 0, jnp.sqrt(eps / jnp.maximum(a, 1e-30)), jnp.inf)
     return eta * jnp.min(t)
+
+
+@functools.partial(jax.jit, static_argnames=("mass_len", "grid", "g"))
+def potential_energy_pm(
+    state: Particles, mass_len: int, *,
+    grid: int = 512, softening: float = 2.0, g: float = G
+) -> jax.Array:
+    """Mesh-estimated potential energy, O(N + G² log G) — the scalable
+    companion to the exact O(N·M) :func:`potential_energy` for N where the
+    pair sum is unaffordable (energy-drift monitoring at pm/p3m scale).
+
+    Reuses the pm far-field machinery (ops/pm_forces.py): CIC-scatter the
+    massive rows to a (G, G) mass grid, free-space-convolve with the even
+    kernel 1/sqrt(r² + eps²) (correlation == convolution, no sign gymnastics),
+    CIC-gather phi back at the massive rows, U = -1/2 sum m_i phi_i. The
+    mesh includes each particle's interaction with its own CIC cloud; that
+    self-term is removed *exactly* in the discrete sense — per particle it
+    is gm·(w^T K w) over the 4 scatter/gather corner weights w and the 4x4
+    corner-offset kernel table K (entries 1/eps, 1/sqrt(h²+eps²),
+    1/sqrt(2h²+eps²)), a closed form costing O(N).
+
+    Differences vs the exact sum: pairs closer than ~2-3 cells are smoothed
+    to the global ``softening`` instead of the reference's per-target
+    ``+ radius`` (the same caveat as the pm force path), and tracers
+    (massless rows) contribute nothing here while the exact sum counts
+    massive->tracer terms only via m_i = 0 too — so both count exactly the
+    massive-massive pairs. Relative accuracy on clustered scenes is set by
+    the far field and is typically well under 1% (test_diagnostics.py)."""
+    from .ops.pm_forces import _box, _cic_scatter, _cic_weights
+
+    pos = state.pos[:mass_len]
+    m = state.mass[:mass_len]
+    gm = g * m
+    real = (gm != 0.0)
+
+    s_min = jnp.min(jnp.where(real[:, None], pos, jnp.inf), axis=0)
+    s_max = jnp.max(jnp.where(real[:, None], pos, -jnp.inf), axis=0)
+    lo, h = _box(s_min, s_max, grid)
+    inv_h = 1.0 / h
+    eps2 = jnp.asarray(softening, jnp.float32) ** 2
+
+    rho = _cic_scatter(pos, gm, lo, inv_h, grid)
+
+    # free-space phi kernel (even): phi = -conv(rho, 1/sqrt(r^2+eps^2))
+    n2 = 2 * grid
+    idx = jnp.arange(n2)
+    d = jnp.where(idx < grid, idx, idx - n2).astype(rho.dtype)
+    dist2 = (d[:, None] * h) ** 2 + (d[None, :] * h) ** 2
+    k_phi = jax.lax.rsqrt(dist2 + eps2)
+    rho_pad = jnp.zeros((n2, n2), rho.dtype).at[:grid, :grid].set(rho)
+    phi = -jnp.fft.irfft2(
+        jnp.fft.rfft2(rho_pad) * jnp.fft.rfft2(k_phi), s=(n2, n2)
+    )[:grid, :grid]
+
+    # CIC gather of phi at the massive rows
+    i0, j0, wx, wy = _cic_weights(pos, lo, inv_h, grid)
+    w4 = jnp.stack([(1 - wx) * (1 - wy), wx * (1 - wy),
+                    (1 - wx) * wy, wx * wy], axis=-1)          # (M, 4)
+    phi_i = (w4[:, 0] * phi[i0, j0] + w4[:, 1] * phi[i0 + 1, j0]
+             + w4[:, 2] * phi[i0, j0 + 1] + w4[:, 3] * phi[i0 + 1, j0 + 1])
+
+    # exact discrete self-term: corner offsets are 0, h, or h*sqrt(2)
+    k0 = jax.lax.rsqrt(eps2)
+    k1 = jax.lax.rsqrt(h * h + eps2)
+    k2 = jax.lax.rsqrt(2 * h * h + eps2)
+    kmat = jnp.array([[0.0, 1.0, 1.0, 2.0],
+                      [1.0, 0.0, 2.0, 1.0],
+                      [1.0, 2.0, 0.0, 1.0],
+                      [2.0, 1.0, 1.0, 0.0]], jnp.float32)
+    ktab = k0 * (kmat == 0) + k1 * (kmat == 1) + k2 * (kmat == 2)
+    self_phi = -gm * jnp.einsum("na,ab,nb->n", w4, ktab, w4)
+
+    return 0.5 * jnp.sum(m * (phi_i - self_phi))
