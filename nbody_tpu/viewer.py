@@ -9,6 +9,7 @@ same control semantics where they make sense off-hardware:
   UP/DOWN     step multiplier           (STEPS, main.c:26)
   Q      quit                           (main.c:64)
   O      toggle overlay                 (ALT in the reference, main.c:65-67)
+  E      physics panel                  (energy/momentum/L/dt*; beyond ref)
   W/A/S/D     pan the camera            (main.c:71-85)
   wheel       zoom to the pointer       (main.c:88-94, 104-110)
   middle-drag pan                       (main.c:97-101)
@@ -74,6 +75,7 @@ class ControlState:
         self.phys_step = phys_step
         self.pause = False
         self.overlay = True
+        self.diagnostics = False  # E key: energy/momentum panel (opt-in)
         # TAB toggles jnp <-> the world's accelerated backend (pallas or
         # pallas_fused), honoring the world's default
         self.accel_backend = (
@@ -108,6 +110,43 @@ class ControlState:
     def cmd_overlay(self) -> None:
         self.overlay = not self.overlay
 
+    def cmd_diagnostics(self) -> None:
+        """Toggle the physics panel (E key): energy / momentum / angular
+        momentum / suggested dt appended to the overlay. Opt-in because the
+        exact potential is O(N·M); above ~64M pairs the panel switches to
+        the mesh estimator (diagnostics.potential_energy_pm) and stays
+        cheap at any N. Values refresh at most every 0.5 s of wall time."""
+        self.diagnostics = not getattr(self, "diagnostics", False)
+        self._diag_next = 0.0
+
+    def diag_text(self) -> str:
+        import time as _time
+
+        now = _time.perf_counter()
+        if now >= getattr(self, "_diag_next", 0.0):
+            from .diagnostics import (angular_momentum, kinetic_energy,
+                                      potential_energy, potential_energy_pm,
+                                      suggest_dt, total_momentum)
+
+            w = self.world
+            st = w.state.slice_to(w.total_len)
+            ke = float(kinetic_energy(st))
+            if w.total_len * w.mass_len <= 64_000_000:
+                pe = float(potential_energy(st, w.mass_len))
+                tag = ""
+            else:
+                pe = float(potential_energy_pm(st, w.mass_len))
+                tag = " (mesh est.)"
+            px, py = (float(x) for x in total_momentum(st))
+            self._diag_text = (
+                f"E = {ke + pe:.4e}{tag}  (K {ke:.3e} / U {pe:.3e})\n"
+                f"|P| = {np.hypot(px, py):.3e}  L = "
+                f"{float(angular_momentum(st)):.3e}\n"
+                f"dt* = {float(suggest_dt(st)):.2e}"
+            )
+            self._diag_next = now + 0.5
+        return self._diag_text
+
     def _colors(self, mass: np.ndarray) -> np.ndarray:
         min_core = DEFAULT_GALAXY_CONFIG.min_gc_mass
         out = np.empty((len(mass), 3))
@@ -120,11 +159,14 @@ class ControlState:
         mode = f"{self.accel_backend} (TPU)" if self.use_gpu else "jnp"
         state = " (paused)" if self.pause else ""
         warn = "\nSKIPPING FRAMES" if self.skipped_frames > MAX_OVERWORK else ""
+        diag = ("\n" + self.diag_text()
+                if getattr(self, "diagnostics", False) else "")
         return (
             f"{mode} simulation{state}\n"
             f"step x{STEPS[self.step_idx]:.2f}  speed x{SPEEDS[self.speed_idx]}\n"
             f"{fps:.0f} FPS"
             f"{warn}"
+            f"{diag}"
         )
 
     def advance(self, frame_time: float | None = None) -> None:
@@ -190,6 +232,8 @@ class Viewer(ControlState):
             self.cmd_step(+1)
         elif k == "o":
             self.cmd_overlay()
+        elif k == "e":
+            self.cmd_diagnostics()
         elif k in ("w", "a", "s", "d"):
             self.pan_key(k)
         elif k == "q":

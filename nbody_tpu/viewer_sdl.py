@@ -10,8 +10,8 @@ frame crosses to the host, closing the reference's own TODO, README.md:97).
 
 Controls (same map as the reference / the matplotlib viewer):
   SPACE pause · TAB backend toggle · LEFT/RIGHT speed · UP/DOWN step mult
-  O overlay · Q/ESC/close quit · WASD pan (held) · wheel zoom-to-pointer
-  middle-drag pan
+  O overlay · E physics panel (energy/momentum/L/dt*) · Q/ESC/close quit
+  WASD pan (held) · wheel zoom-to-pointer · middle-drag pan
 
 Screen space is y-down (like raylib): W pans the *view* up, i.e. the camera
 target's y decreases (main.c:74-77).
@@ -115,6 +115,8 @@ class SdlViewer(ControlState):
                 self.cmd_step(+1)
             elif k == pygame.K_o:
                 self.cmd_overlay()
+            elif k == pygame.K_e:
+                self.cmd_diagnostics()
         elif ev.type == pygame.MOUSEWHEEL and ev.y != 0:
             factor = (1.0 + CAMERA_ZOOM_DELTA) if ev.y > 0 else (1.0 - CAMERA_ZOOM_DELTA)
             import pygame

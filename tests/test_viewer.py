@@ -176,3 +176,23 @@ def test_middle_drag_pan():
     v.on_press(types.SimpleNamespace(button=1, x=0.0, y=0.0))
     v.on_motion(types.SimpleNamespace(x=50.0, y=0.0))
     assert ax.get_xlim() == (nx0, nx1)
+
+
+def test_diagnostics_panel_toggle():
+    """'e' appends the physics panel (energy/momentum/L/dt*) to the overlay;
+    toggling off removes it. Values come from nbody_tpu.diagnostics."""
+    v = make_viewer()
+    v.advance()  # populate acc so dt* is finite
+    base = v.overlay_text(100.0)
+    assert "E = " not in base
+    v.on_key(key("e"))
+    on = v.overlay_text(100.0)
+    assert "E = " in on and "|P| = " in on and "dt* = " in on
+    # the E value is the actual total energy of the world
+    from nbody_tpu.diagnostics import total_energy
+
+    e = float(total_energy(v.world.state.slice_to(v.world.total_len),
+                           v.world.mass_len))
+    assert f"{e:.4e}" in on
+    v.on_key(key("e"))
+    assert "E = " not in v.overlay_text(100.0)

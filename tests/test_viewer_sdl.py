@@ -65,12 +65,14 @@ def test_posted_events_drive_controls_through_the_loop():
     post_key(pygame.K_RIGHT)
     post_key(pygame.K_UP)
     post_key(pygame.K_o)
+    post_key(pygame.K_e)
     v.run(max_frames=2)
     assert v.pause is True
     assert v.use_gpu is True  # default jnp -> toggled on
     assert v.speed_idx == 2 and SPEEDS[v.speed_idx] == 4
     assert STEPS[v.step_idx] == STEPS[4]
     assert v.overlay is False
+    assert v.diagnostics is True and "E = " in v.diag_text()
 
 
 def test_quit_key_ends_loop_early():
