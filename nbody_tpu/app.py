@@ -69,8 +69,12 @@ def _add_scene_args(p: argparse.ArgumentParser) -> None:
 
 
 def _make_world(args):
+    """Build the world; returns (world, start_step) where start_step is the
+    resumed checkpoint's accumulated substep counter (0 for a fresh scene)."""
+    start = 0
     if args.state:
-        particles, _ = load_particles(args.state)
+        particles, extra = load_particles(args.state)
+        start = int(extra.get("step", 0))
     else:
         particles = make_galaxies(args.n, args.galaxies, seed=args.seed)
     pm_grid = args.pm_grid
@@ -96,12 +100,19 @@ def _make_world(args):
                    "pallas_fused": "pallas_ring"}.get(args.backend,
                                                       args.backend)
         return ShardedWorld(particles, make_mesh(), config=config,
-                            force_backend=backend)
-    return create_world(particles, config=config, default_backend=args.backend)
+                            force_backend=backend), start
+    return (create_world(particles, config=config,
+                         default_backend=args.backend), start)
 
 
 def cmd_run(args) -> None:
-    w = _make_world(args)
+    if args.checkpoint_every < 0:
+        raise SystemExit(f"--checkpoint-every must be >= 0, "
+                         f"got {args.checkpoint_every}")
+    if args.checkpoint_every and args.traj:
+        print("warning: --checkpoint-every is ignored with --traj "
+              "(trajectory capture runs as one fused scan)", file=sys.stderr)
+    w, start = _make_world(args)
     sharded = getattr(args, "shard", False)
     backend = (f"{w.force_backend} x{w.n_devices}dev" if sharded
                else w.default_backend)
@@ -115,12 +126,9 @@ def cmd_run(args) -> None:
             w.update(args.dt, k, backend=args.backend)
     # resume continues the checkpoint's step counter (run --state x --steps k
     # runs k MORE steps; the saved `step` metadata accumulates across runs)
-    start = 0
-    if args.state:
-        with np.load(args.state) as d:
-            start = int(d["step"]) if "step" in d.files else 0
     t0 = time.perf_counter()
     saved_at = None
+    ran = args.steps  # substeps actually executed (--traj may round down)
     if args.traj:
         from .trajectory import save_trajectory
 
@@ -136,6 +144,9 @@ def cmd_run(args) -> None:
         save_trajectory(args.traj, traj, dt=np.float32(args.dt),
                         steps_per_frame=np.int64(spf))
         print(f"wrote {traj.shape} trajectory to {args.traj}", file=sys.stderr)
+        # only frames*spf substeps actually ran; keep the accumulating
+        # resume counter honest (it may be < args.steps)
+        ran = frames * spf
     elif args.checkpoint_every and args.save:
         # preemption-safe long runs: atomic checkpoint every K substeps;
         # kill the process at any point and `run --state <save>` continues
@@ -159,7 +170,7 @@ def cmd_run(args) -> None:
           f"{w.total_len * w.mass_len * args.steps / dt_wall:.3e} pairs/s)",
           file=sys.stderr)
     if args.save and saved_at != args.steps:
-        save_world_atomic(args.save, w, step=start + args.steps)
+        save_world_atomic(args.save, w, step=start + ran)
         print(f"checkpoint -> {args.save}", file=sys.stderr)
 
 
@@ -172,7 +183,7 @@ def cmd_render(args) -> None:
 
 
 def cmd_gif(args) -> None:
-    w = _make_world(args)
+    w, _ = _make_world(args)
     export_animation(
         w, args.out, frames=args.frames, steps_per_frame=args.steps_per_frame,
         dt=args.dt, width=args.width, height=args.height, backend=args.backend,
@@ -181,7 +192,7 @@ def cmd_gif(args) -> None:
 
 
 def cmd_view(args) -> None:
-    w = _make_world(args)
+    w, _ = _make_world(args)
     if args.sdl:
         from .viewer_sdl import SdlViewer
 

@@ -56,13 +56,28 @@ def save_world_atomic(path: str, world, step: int = 0) -> None:
         suffix=".npz", prefix=".ckpt-", dir=os.path.dirname(target) or ".")
     os.close(fd)
     try:
+        # mkstemp creates 0600; restore the umask-honoring mode a plain
+        # open() would have produced (group-shared resume workflows)
+        os.chmod(tmp, 0o666 & ~_current_umask())
         save_particles(tmp, world.particles, step=np.int64(step),
                        mass_len=np.int64(world.mass_len))
+        # flush file contents to disk before the rename becomes visible, so
+        # a power loss (not just a SIGKILL) cannot expose a truncated target
+        with open(tmp, "rb+") as f:
+            os.fsync(f.fileno())
         os.replace(tmp, target)
     except BaseException:
         if os.path.exists(tmp):
             os.unlink(tmp)
         raise
+
+
+def _current_umask() -> int:
+    import os
+
+    mask = os.umask(0)
+    os.umask(mask)
+    return mask
 
 
 def load_world(path: str, world_cls=None, **world_kwargs):

@@ -129,13 +129,18 @@ class ControlState:
                                       suggest_dt, total_momentum)
 
             w = self.world
+            cfg = w.config
             st = w.state.slice_to(w.total_len)
             ke = float(kinetic_energy(st))
             if w.total_len * w.mass_len <= 64_000_000:
-                pe = float(potential_energy(st, w.mass_len))
+                pe = float(potential_energy(st, w.mass_len, g=cfg.g))
                 tag = ""
             else:
-                pe = float(potential_energy_pm(st, w.mass_len))
+                # the world's own mesh/softening parameters, so the panel
+                # measures drift in the same model the forces integrate
+                pe = float(potential_energy_pm(
+                    st, w.mass_len, grid=cfg.pm_grid,
+                    softening=cfg.pm_softening, g=cfg.g))
                 tag = " (mesh est.)"
             px, py = (float(x) for x in total_momentum(st))
             self._diag_text = (

@@ -118,3 +118,22 @@ def test_run_sharded_matches_single_chip(tmp_path):
     with np.load(a) as da, np.load(b) as db:
         scale = max(1.0, float(np.abs(db["pos"]).max()))
         assert np.abs(da["pos"] - db["pos"]).max() / scale < 3e-4
+
+
+def test_checkpoint_every_negative_rejected():
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(["run", "--n", "250", "--galaxies", "1", "--steps", "5",
+              "--save", "/tmp/never.npz", "--checkpoint-every", "-2"])
+
+
+def test_traj_save_counts_only_executed_substeps(tmp_path):
+    """--traj rounds steps down to frames*steps_per_frame; the accumulating
+    resume counter must record what actually ran (6), not the request (7)."""
+    traj = str(tmp_path / "t.npz")
+    state = str(tmp_path / "s.npz")
+    main(["run", "--n", "250", "--galaxies", "1", "--steps", "7",
+          "--frames", "3", "--traj", traj, "--save", state])
+    with np.load(state) as d:
+        assert int(d["step"]) == 6

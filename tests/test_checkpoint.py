@@ -150,3 +150,22 @@ def test_save_world_atomic_overwrites_cleanly(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(w2.particles.pos), np.asarray(w.particles.pos))
     assert [f for f in os.listdir(tmp_path) if f.startswith(".ckpt-")] == []
+
+
+def test_save_world_atomic_honors_umask(tmp_path):
+    """The temp-file dance must not leak mkstemp's 0600 mode onto the
+    checkpoint (group-shared resume workflows read it)."""
+    import os
+    import stat
+
+    from nbody_tpu import create_world, make_galaxies
+    from nbody_tpu.utils import save_world_atomic  # public re-export
+
+    w = create_world(make_galaxies(120, 1, seed=8))
+    path = str(tmp_path / "ck.npz")
+    old = os.umask(0o022)
+    try:
+        save_world_atomic(path, w, step=1)
+    finally:
+        os.umask(old)
+    assert stat.S_IMODE(os.stat(path).st_mode) == 0o644
