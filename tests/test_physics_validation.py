@@ -130,3 +130,30 @@ def test_pm_energy_momentum_bounded_over_10k_steps():
         assert np.linalg.norm(p - p0) / pscale < 2e-4
     assert np.all(np.isfinite(np.asarray(world.particles.pos)))
     assert worst_drift < 5e-3, f"pm energy drift {worst_drift:.2e}"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("integrator", ["leapfrog", "yoshida4"])
+def test_symplectic_integrators_bounded_over_10k_steps(integrator):
+    """Both symplectic compositions keep energy drift bounded (no secular
+    growth) at the BASELINE 10k-step horizon on the production dt.
+
+    Note this deliberately does NOT assert yoshida4 < leapfrog here: at
+    dt=0.005 on this softened scene both sit at the fp32 round-off floor,
+    where yoshida4's 3 force evals/step accumulate slightly MORE round-off
+    (measured: 2.4e-4 vs 1.7e-4). The truncation-error ordering is real and
+    is asserted where it is observable — at coarse dt in
+    test_integrators.test_yoshida4_energy_drift_lower_than_leapfrog and the
+    convergence-order test."""
+    import dataclasses
+
+    cfg = dataclasses.replace(DEFAULT_MATH, integrator=integrator)
+    world = create_world(make_galaxies(1024, 1, seed=11037), config=cfg)
+    e0, _ = total_energy(world)
+    worst = 0.0
+    for _ in range(4):
+        world.update(0.005, 2500)
+        e, _ = total_energy(world)
+        worst = max(worst, abs(e - e0) / abs(e0))
+    assert np.all(np.isfinite(np.asarray(world.particles.pos)))
+    assert worst < 1e-3, worst
