@@ -37,7 +37,11 @@ def _add_scene_args(p: argparse.ArgumentParser) -> None:
                    default=None,
                    help="force backend ('auto' = faster of exact direct sum "
                         "/ p3m at this N, the main.c:55 scale mux)")
-    p.add_argument("--dt", type=float, default=PHYS_STEP)
+    p.add_argument("--dt", type=lambda s: s if s == "auto" else float(s),
+                   default=PHYS_STEP,
+                   help="substep size, or 'auto' for the softening-"
+                        "resolution criterion (diagnostics.suggest_dt: "
+                        "0.1 · min sqrt(eps/|a|) on the initial state)")
     p.add_argument("--precise", action="store_true",
                    help="exact sqrt+divide force math (reference shader semantics)")
     p.add_argument("--integrator", choices=["euler", "leapfrog", "yoshida4"],
@@ -105,6 +109,24 @@ def _make_world(args):
                          default_backend=args.backend), start)
 
 
+def _resolve_dt(args, w) -> None:
+    """``--dt auto``: evaluate the softening-resolution criterion
+    (diagnostics.suggest_dt, eta=0.1) on the initial accelerations. One
+    dt=0 substep populates ``acc`` without moving anything (every
+    integrator's position/velocity increments carry a factor of dt)."""
+    if args.dt != "auto":
+        return
+    from .diagnostics import suggest_dt
+
+    w.update(0.0, 1)
+    dt = float(suggest_dt(w.particles))
+    if not np.isfinite(dt):
+        raise SystemExit("--dt auto: force-free world has no orbital "
+                         "timescale; pass an explicit --dt")
+    args.dt = dt
+    print(f"dt auto -> {dt:.6g}", file=sys.stderr)
+
+
 def cmd_run(args) -> None:
     if args.checkpoint_every < 0:
         raise SystemExit(f"--checkpoint-every must be >= 0, "
@@ -113,6 +135,7 @@ def cmd_run(args) -> None:
         print("warning: --checkpoint-every is ignored with --traj "
               "(trajectory capture runs as one fused scan)", file=sys.stderr)
     w, start = _make_world(args)
+    _resolve_dt(args, w)
     sharded = getattr(args, "shard", False)
     backend = (f"{w.force_backend} x{w.n_devices}dev" if sharded
                else w.default_backend)
@@ -184,6 +207,7 @@ def cmd_render(args) -> None:
 
 def cmd_gif(args) -> None:
     w, _ = _make_world(args)
+    _resolve_dt(args, w)
     export_animation(
         w, args.out, frames=args.frames, steps_per_frame=args.steps_per_frame,
         dt=args.dt, width=args.width, height=args.height, backend=args.backend,
@@ -193,6 +217,7 @@ def cmd_gif(args) -> None:
 
 def cmd_view(args) -> None:
     w, _ = _make_world(args)
+    _resolve_dt(args, w)
     if args.sdl:
         from .viewer_sdl import SdlViewer
 

@@ -137,3 +137,33 @@ def test_traj_save_counts_only_executed_substeps(tmp_path):
           "--frames", "3", "--traj", traj, "--save", state])
     with np.load(state) as d:
         assert int(d["step"]) == 6
+
+
+def test_dt_auto(tmp_path, capsys):
+    """--dt auto resolves through diagnostics.suggest_dt on the initial
+    accelerations (one dt=0 substep populates acc without moving anything)
+    and the resolved value drives the run."""
+    state = str(tmp_path / "dtauto.npz")
+    main(["run", "--n", "250", "--galaxies", "1", "--steps", "3",
+          "--dt", "auto", "--save", state])
+    err = capsys.readouterr().err
+    assert "dt auto -> " in err
+    dt = float(err.split("dt auto -> ")[1].split()[0])
+    assert 0.0 < dt < 10.0, dt
+    with np.load(state) as z:
+        assert np.isfinite(z["pos"]).all()
+
+
+def test_dt_auto_force_free_world_rejected(tmp_path):
+    """--dt auto on an all-massless world (no forces, no timescale) must
+    exit with a clear error instead of running with dt = inf."""
+    from nbody_tpu import make_galaxies
+    from nbody_tpu.utils.checkpoint import save_particles
+
+    sc = make_galaxies(250, 1, seed=3)
+    sc = type(sc)(pos=sc.pos, vel=sc.vel, acc=sc.acc,
+                  mass=np.zeros_like(sc.mass), radius=sc.radius)
+    state = str(tmp_path / "massless.npz")
+    save_particles(state, sc)
+    with pytest.raises(SystemExit, match="force-free"):
+        main(["run", "--state", state, "--steps", "1", "--dt", "auto"])
