@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Checkpoint / resume round trip + trajectory export.
 
-Usage: python examples/checkpoint_resume.py
+Usage: python examples/checkpoint_resume.py [n] [steps]
 """
 
 import os
@@ -15,16 +15,21 @@ import nbody_tpu as nb
 from nbody_tpu.trajectory import record_trajectory, save_trajectory
 from nbody_tpu.utils import load_world, save_world
 
-scene = nb.make_galaxies(2000, 2, seed=7)
+n = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+steps = int(sys.argv[2]) if len(sys.argv) > 2 else 500
+
+scene = nb.make_galaxies(n, 2, seed=7)
 world = nb.create_world(scene)
 
-world.update(0.01, 500)
-save_world("/tmp/nbody_ckpt.npz", world, step=500)
-print("checkpointed at step 500")
+world.update(0.01, steps)
+save_world("/tmp/nbody_ckpt.npz", world, step=steps)
+print(f"checkpointed at step {steps}")
 
 resumed, step = load_world("/tmp/nbody_ckpt.npz")
 print(f"resumed at step {step}; mass_len={resumed.mass_len}")
 
-traj = record_trajectory(resumed, 0.01, frames=50, steps_per_frame=10)
+frames = min(50, steps)
+traj = record_trajectory(resumed, 0.01, frames=frames, steps_per_frame=10)
 save_trajectory("/tmp/nbody_traj.npz", traj, dt=np.float32(0.01))
-print(f"recorded {traj.shape} trajectory (50 frames x 10 substeps, one device pass)")
+print(f"recorded {traj.shape} trajectory "
+      f"({frames} frames x 10 substeps, one device pass)")

@@ -4,7 +4,7 @@ particle-mesh far-field backend (backend="pm": CIC -> FFT convolution ->
 CIC; O(N + G^2 log G) per substep — ~19x the exact direct sum at N=1M on a
 single v5e chip, docs/BENCHMARKS.md).
 
-Usage: python examples/pm_million.py [n] [frames] [backend]
+Usage: python examples/pm_million.py [n] [frames] [backend] [out.gif]
 ``backend`` may be "pm" (default, fastest, approximate near field) or
 "p3m" (accurate at all ranges — mesh far field + exact short-range pair
 correction, ~146 ms/substep at N=1M; pass p3m to see it). The p3m run
@@ -45,7 +45,8 @@ print(f"N={world.total_len} massive={world.mass_len} "
       f"backend={BACKEND} grid={grid}")
 
 t0 = time.perf_counter()
-out = os.path.join(os.path.dirname(__file__), f"{BACKEND}_million.gif")
+out = (sys.argv[4] if len(sys.argv) > 4 else
+       os.path.join(os.path.dirname(__file__), f"{BACKEND}_million.gif"))
 export_animation(world, out, frames=FRAMES, steps_per_frame=4, dt=0.005,
                  width=640, height=360)
 dtv = time.perf_counter() - t0

@@ -3,7 +3,7 @@
 arrives at a target after flying through a three-body gravitational field —
 gradient descent straight through the simulator (nbody_tpu.autodiff).
 
-Usage: python examples/shooting.py
+Usage: python examples/shooting.py [iters]
 """
 
 import os
@@ -37,8 +37,10 @@ def loss_and_grad(v0):
     return jax.value_and_grad(loss)(v0)
 
 
+ITERS = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+
 v0 = jnp.array([10.0, 0.0], jnp.float32)
-for k in range(200):
+for k in range(ITERS):
     l, g = loss_and_grad(v0)
     v0 = v0 - 1e-3 * g
     if k % 25 == 0:
