@@ -40,6 +40,7 @@ def loss_and_grad(v0):
 ITERS = int(sys.argv[1]) if len(sys.argv) > 1 else 200
 
 v0 = jnp.array([10.0, 0.0], jnp.float32)
+l, _ = loss_and_grad(v0)  # also defines l for the final print when ITERS=0
 for k in range(ITERS):
     l, g = loss_and_grad(v0)
     v0 = v0 - 1e-3 * g

@@ -120,9 +120,12 @@ def _resolve_dt(args, w) -> None:
 
     w.update(0.0, 1)
     dt = float(suggest_dt(w.particles))
-    if not np.isfinite(dt):
-        raise SystemExit("--dt auto: force-free world has no orbital "
-                         "timescale; pass an explicit --dt")
+    # dt == 0.0 happens too: a zero-radius particle under nonzero force
+    # has eps = sqrt(radius) = 0 (make_particles allows radius 0)
+    if not np.isfinite(dt) or dt <= 0.0:
+        raise SystemExit("--dt auto: world has no resolvable orbital "
+                         "timescale (force-free, or a zero-radius particle "
+                         "under force); pass an explicit --dt")
     args.dt = dt
     print(f"dt auto -> {dt:.6g}", file=sys.stderr)
 

@@ -167,3 +167,19 @@ def test_dt_auto_force_free_world_rejected(tmp_path):
     save_particles(state, sc)
     with pytest.raises(SystemExit, match="force-free"):
         main(["run", "--state", state, "--steps", "1", "--dt", "auto"])
+
+
+def test_dt_auto_zero_radius_rejected(tmp_path):
+    """A zero-radius particle under force has eps = sqrt(radius) = 0, so the
+    criterion degenerates to dt = 0 — must be rejected, not run silently."""
+    from nbody_tpu import make_galaxies
+    from nbody_tpu.utils.checkpoint import save_particles
+
+    sc = make_galaxies(250, 1, seed=3)
+    r = np.asarray(sc.radius).copy()
+    r[-1] = 0.0  # a massless tracer; it still feels the massive cores
+    sc = type(sc)(pos=sc.pos, vel=sc.vel, acc=sc.acc, mass=sc.mass, radius=r)
+    state = str(tmp_path / "zr.npz")
+    save_particles(state, sc)
+    with pytest.raises(SystemExit, match="timescale"):
+        main(["run", "--state", state, "--steps", "1", "--dt", "auto"])

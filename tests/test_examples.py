@@ -30,8 +30,9 @@ def test_collision(tmp_path, monkeypatch):
     assert open(out, "rb").read(6) in (b"GIF87a", b"GIF89a")
 
 
-def test_checkpoint_resume(monkeypatch):
-    g = _run("checkpoint_resume.py", [400, 20], monkeypatch)
+def test_checkpoint_resume(tmp_path, monkeypatch):
+    g = _run("checkpoint_resume.py",
+             [400, 20, tmp_path / "ck.npz", tmp_path / "tr.npz"], monkeypatch)
     assert g["traj"].shape == (20, 400, 2)
     assert np.isfinite(np.asarray(g["traj"])).all()
 
