@@ -159,6 +159,9 @@ def main():
                          "size-based choice)")
     ap.add_argument("--sharded", action="store_true",
                     help="also time the ring-sharded world over all devices")
+    ap.add_argument("--profile", metavar="DIR", default=None,
+                    help="capture a jax.profiler trace of the primary run "
+                         "into DIR (view in TensorBoard/Perfetto)")
     args = ap.parse_args()
     if not args.cpu and not args.gpu:
         args.gpu = True  # default: the flagship backend
@@ -167,7 +170,14 @@ def main():
         run_ladder(args)
     if args.sharded:
         run_sharded(args)
-    result = run_primary(args)
+    if args.profile:
+        from nbody_tpu.utils.profiling import trace
+
+        with trace(args.profile):
+            result = run_primary(args)
+        log(f"profiler trace -> {args.profile}")
+    else:
+        result = run_primary(args)
     print(json.dumps(result), flush=True)
 
 

@@ -44,3 +44,24 @@ def test_cli_emits_single_json_line():
     assert len(lines) == 1
     parsed = json.loads(lines[0])
     assert parsed["unit"] == "pairs/s"
+
+
+def test_cli_profile_flag_writes_trace(tmp_path):
+    """--profile wraps the primary run in a jax.profiler trace (the SURVEY §5
+    tracing hook) and still emits exactly one JSON line on stdout."""
+    d = str(tmp_path / "trace")
+    out = subprocess.run(
+        [sys.executable, "bench.py", "--n", "250", "--iters", "2",
+         "--warmup", "1", "--repeats", "1", "--backend", "jnp",
+         "--profile", d],
+        capture_output=True, text=True, timeout=300,
+        env={"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin"},
+        cwd=".",
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    lines = [l for l in out.stdout.strip().splitlines() if l.strip()]
+    assert len(lines) == 1 and json.loads(lines[0])["value"] > 0
+    import glob
+    assert glob.glob(d + "/**/*.pb*", recursive=True) or \
+        glob.glob(d + "/**/*.trace*", recursive=True), \
+        f"no trace artifacts under {d}"
