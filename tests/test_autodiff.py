@@ -278,3 +278,22 @@ def test_pp_chunk_mass_gradient_semantics():
     assert abs(g_chunk[0]) < 0.1 * abs(g_none[0])
     # massive sources sit in active chunks: their gradients agree
     np.testing.assert_allclose(g_chunk[1:], g_none[1:], rtol=1e-4)
+
+
+def test_rollout_particles_wrapper():
+    """rollout_particles round-trips the Particles pytree through rollout
+    (positions advance, static fields pass through untouched)."""
+    import nbody_tpu as nb
+    from nbody_tpu.autodiff import rollout_particles
+
+    w = nb.create_world(nb.make_galaxies(300, 1, seed=4))
+    h = w.particles
+    out = rollout_particles(h, 0.01, n_steps=6, mass_len=w.mass_len)
+    assert not np.allclose(np.asarray(out.pos), np.asarray(h.pos))
+    np.testing.assert_array_equal(np.asarray(out.mass), np.asarray(h.mass))
+    np.testing.assert_array_equal(np.asarray(out.radius),
+                                  np.asarray(h.radius))
+    w.update(0.01, 6, backend="jnp")
+    ref = np.asarray(w.particles.pos)
+    s = np.abs(ref).max()
+    np.testing.assert_allclose(np.asarray(out.pos) / s, ref / s, atol=1e-6)

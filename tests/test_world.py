@@ -273,3 +273,29 @@ def test_auto_backend_sharded(monkeypatch):
     assert create_world(scene, default_backend="auto").default_backend == "p3m"
     sw3 = ShardedWorld(scene, mesh, force_backend="auto")
     assert sw3.force_backend == "jnp"
+
+
+def test_reference_api_update_aliases():
+    """UpdateWorld_CPU / UpdateWorld_GPU (nbody.h:69-73) map to fixed
+    backends: update_cpu = the jnp oracle, update_gpu = the Pallas kernel.
+    Both advance the same trajectory within cross-backend tolerance."""
+    scene = make_galaxies(300, 1, seed=9)
+    wa, wb = create_world(scene), create_world(scene)
+    wa.update_cpu(0.01, 8)
+    wb.update_gpu(0.01, 8)
+    pa, pb = np.asarray(wa.particles.pos), np.asarray(wb.particles.pos)
+    assert np.isfinite(pa).all() and np.isfinite(pb).all()
+    scale = np.abs(pa).max()
+    np.testing.assert_allclose(pa / scale, pb / scale, atol=1e-5)
+
+
+def test_resolve_backend_function():
+    """The 'auto' mux is a pure function of the pair count; concrete
+    backends pass through untouched."""
+    from nbody_tpu.world import AUTO_P3M_MIN_PAIRS, resolve_backend
+
+    for b in ("jnp", "pallas", "pm", "p3m"):
+        assert resolve_backend(b, 10**9, 10**9) == b
+    assert resolve_backend("auto", 1000, 500) == "jnp"
+    n = int(np.sqrt(AUTO_P3M_MIN_PAIRS)) * 2
+    assert resolve_backend("auto", n, n) == "p3m"
