@@ -1,14 +1,15 @@
 #!/usr/bin/env python
 """Million-particle galaxy collision at interactive rates with the
 particle-mesh far-field backend (backend="pm": CIC -> FFT convolution ->
-CIC; O(N + G^2 log G) per substep — ~19x the exact direct sum at N=1M on a
-single v5e chip, docs/BENCHMARKS.md).
+CIC; O(N + G^2 log G) per substep — ~100x the exact direct sum at N=1M on
+a single v5e chip, docs/BENCHMARKS.md).
 
 Usage: python examples/pm_million.py [n] [frames] [backend] [out.gif]
 ``backend`` may be "pm" (default, fastest, approximate near field) or
 "p3m" (accurate at all ranges — mesh far field + exact short-range pair
-correction, ~146 ms/substep at N=1M; pass p3m to see it). The p3m run
-uses `p3m_rebin_interval=8` (Verlet-list amortization of the cell sorts).
+correction, ~72 ms/substep at N=1M with rebin; pass p3m to see it). The
+p3m run uses `p3m_rebin_interval=8` (Verlet-list amortization of the
+cell sorts).
 Writes <backend>_million.gif next to the script.
 """
 
