@@ -169,3 +169,33 @@ def test_save_world_atomic_honors_umask(tmp_path):
     finally:
         os.umask(old)
     assert stat.S_IMODE(os.stat(path).st_mode) == 0o644
+
+
+def test_orbax_sharded_resize_via_host_path(tmp_path):
+    """Pod-resize recipe: a checkpoint saved on a 4-device mesh restores
+    onto an 8-device mesh through the documented host path
+    (load_world_orbax -> re-shard), and the resized world carries the same
+    state and trajectory."""
+    from nbody_tpu.parallel.sharding import ShardedWorld, make_mesh
+    from nbody_tpu.utils.checkpoint import (
+        load_world_orbax, save_world_orbax)
+
+    pytest.importorskip("orbax.checkpoint")
+    scene = make_galaxies(250, 1, seed=6)
+    sw = ShardedWorld(scene, make_mesh(4), config=TINY, force_backend="jnp")
+    sw.update(0.01, 3)
+    path = str(tmp_path / "ck_resize")
+    save_world_orbax(path, sw, step=3)
+
+    w_host, step = load_world_orbax(path)
+    assert step == 3
+    sw8 = ShardedWorld(w_host.particles, make_mesh(8), config=TINY,
+                       force_backend="jnp")
+    assert sw8.n_devices == 8
+    np.testing.assert_array_equal(np.asarray(sw8.particles.pos),
+                                  np.asarray(sw.particles.pos))
+    sw.update(0.01, 2)
+    sw8.update(0.01, 2)
+    np.testing.assert_allclose(np.asarray(sw8.particles.pos),
+                               np.asarray(sw.particles.pos), atol=1e-6)
+
