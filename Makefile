@@ -1,9 +1,12 @@
 # Developer conveniences. The package itself needs no build step.
 
-.PHONY: test bench ladder oracle clean
+.PHONY: test smoke bench ladder oracle clean
 
 test:
 	python -m pytest tests/ -q
+
+smoke:  # the sub-60s CI tier (curated slice touching every module)
+	python -m pytest tests/ -m smoke -q
 
 bench:
 	python bench.py
