@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -139,6 +141,34 @@ def run_primary(args) -> dict:
     }
 
 
+def device_probe(timeout: float, attempts: int, interval: float = 60.0,
+                 platform: str | None = None) -> bool:
+    """True once a trivial jitted op completes on the backend the bench
+    itself will use.
+
+    Remote-attached devices (the v5e tunnel here) have wedge phases where
+    even a 128-element matmul hangs indefinitely — which would hang this
+    whole process at the first compile. Probe in a killable subprocess so a
+    dead backend turns into a clean failure (TPU_STATUS_r03.md)."""
+    force = (f"jax.config.update('jax_platforms', {platform!r}); "
+             if platform else "")
+    code = (f"import jax, jax.numpy as jnp; {force}"
+            "print(float((jnp.ones((8, 128)) @ jnp.ones((128, 8))).sum()))")
+    for i in range(attempts):
+        if i:
+            time.sleep(interval)
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, timeout=timeout)
+            if r.returncode == 0:
+                return True
+            log(f"device probe {i + 1}/{attempts}: exit {r.returncode}: "
+                f"{r.stderr.decode(errors='replace').strip()[-200:]}")
+        except subprocess.TimeoutExpired:
+            log(f"device probe {i + 1}/{attempts}: hung > {timeout:.0f}s")
+    return False
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--ladder", action="store_true", help="run the full N ladder (stderr table)")
@@ -162,9 +192,35 @@ def main():
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="capture a jax.profiler trace of the primary run "
                          "into DIR (view in TensorBoard/Perfetto)")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu) in-process; env "
+                         "JAX_PLATFORMS is too late where a sitecustomize "
+                         "presets the platform programmatically")
     args = ap.parse_args()
+    if args.platform:
+        # must precede the first device touch; jax is imported but no
+        # backend is initialized yet
+        jax.config.update("jax_platforms", args.platform)
     if not args.cpu and not args.gpu:
         args.gpu = True  # default: the flagship backend
+
+    if os.environ.get("NBODY_BENCH_NO_PROBE") != "1":
+        # generous timeout: on a loaded host even a CPU `import jax` can take
+        # minutes; the probe exists to catch the *indefinite* wedge mode
+        timeout = float(os.environ.get("NBODY_BENCH_PROBE_TIMEOUT", "240"))
+        attempts = int(os.environ.get("NBODY_BENCH_PROBE_ATTEMPTS", "3"))
+        if not device_probe(timeout, attempts, platform=args.platform):
+            # Emit a well-formed record instead of hanging the caller at the
+            # first compile; value 0 = no measurement (see TPU_STATUS_r03.md).
+            print(json.dumps({
+                "metric": f"pair_interactions_per_sec_per_chip_n{args.n}",
+                "value": 0.0,
+                "unit": "pairs/s",
+                "vs_baseline": 0.0,
+                "error": "device backend unreachable (probe hung/failed); "
+                         "see TPU_STATUS_r03.md",
+            }), flush=True)
+            return
 
     if args.ladder:
         run_ladder(args)

@@ -46,6 +46,45 @@ def test_cli_emits_single_json_line():
     assert parsed["unit"] == "pairs/s"
 
 
+def test_cli_platform_flag_forces_cpu():
+    """--platform cpu must work under the FULL inherited environment, where
+    a sitecustomize presets the accelerator platform programmatically (env
+    JAX_PLATFORMS is too late there) — both the probe subprocess and the
+    bench itself get the in-process config update."""
+    out = subprocess.run(
+        [sys.executable, "bench.py", "--platform", "cpu", "--n", "250",
+         "--iters", "2", "--warmup", "1", "--repeats", "1",
+         "--backend", "jnp"],
+        capture_output=True, text=True, timeout=300, cwd=".",
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    lines = [l for l in out.stdout.strip().splitlines() if l.strip()]
+    assert len(lines) == 1
+    parsed = json.loads(lines[0])
+    assert parsed["value"] > 0 and "error" not in parsed
+
+
+def test_cli_unreachable_device_emits_error_record():
+    """With a dead backend the CLI must not hang at the first compile (the
+    remote-tunnel wedge mode, TPU_STATUS_r03.md): the probe fails fast and a
+    well-formed zero-value record with an `error` field is emitted."""
+    out = subprocess.run(
+        [sys.executable, "bench.py", "--n", "250"],
+        capture_output=True, text=True, timeout=300,
+        env={"JAX_PLATFORMS": "no_such_platform",
+             "NBODY_BENCH_PROBE_ATTEMPTS": "1",
+             "NBODY_BENCH_PROBE_TIMEOUT": "60",
+             "PATH": "/usr/bin:/bin:/usr/local/bin"},
+        cwd=".",
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    lines = [l for l in out.stdout.strip().splitlines() if l.strip()]
+    assert len(lines) == 1
+    parsed = json.loads(lines[0])
+    assert parsed["value"] == 0.0 and "error" in parsed
+    assert parsed["unit"] == "pairs/s"
+
+
 def test_cli_profile_flag_writes_trace(tmp_path):
     """--profile wraps the primary run in a jax.profiler trace (the SURVEY §5
     tracing hook) and still emits exactly one JSON line on stdout."""
