@@ -94,7 +94,7 @@ def pytest_collection_modifyitems(config, items):
     skip = pytest.mark.skip(
         reason="NBODY_TPU_TESTS on a single device: multi-device test")
     multi_markers = ("sharding", "ring", "mesh", "sharded", "multichip",
-                     "barrier")
+                     "barrier", "multihost")
     for item in items:
         name = (item.nodeid or "").lower()
         if any(m in name for m in multi_markers):
