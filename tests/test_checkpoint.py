@@ -199,3 +199,56 @@ def test_orbax_sharded_resize_via_host_path(tmp_path):
     np.testing.assert_allclose(np.asarray(sw8.particles.pos),
                                np.asarray(sw.particles.pos), atol=1e-6)
 
+
+
+def test_orbax_config_sidecar_restores_sim_config(tmp_path):
+    """The save-time SimConfig rides in the checkpoint (config.json), so a
+    bare restore rebuilds the exact padded layout — no remembering tile or
+    integrator tuning at restore time."""
+    import dataclasses
+
+    from nbody_tpu.utils.checkpoint import load_world_orbax, save_world_orbax
+
+    pytest.importorskip("orbax.checkpoint")
+    cfg = dataclasses.replace(TINY, integrator="leapfrog", pm_grid=64)
+    scene = make_galaxies(250, 1, seed=6)
+    w = create_world(scene, config=cfg)
+    w.update(0.01, 2, backend="jnp")
+    path = str(tmp_path / "ck_cfg")
+    save_world_orbax(path, w, step=2)
+
+    resumed, _ = load_world_orbax(path)          # no config passed
+    assert resumed.config == cfg
+    # an explicit config still wins over the sidecar
+    explicit, _ = load_world_orbax(path, config=TINY)
+    assert explicit.config == TINY
+    # continuation parity: same integrator, same trajectory
+    w.update(0.01, 3, backend="jnp")
+    resumed.update(0.01, 3, backend="jnp")
+    np.testing.assert_allclose(np.asarray(resumed.particles.pos),
+                               np.asarray(w.particles.pos), rtol=1e-6)
+
+
+def test_orbax_config_sidecar_sharded_layout(tmp_path):
+    """Sharded restore with config=None uses the sidecar config. The saved
+    TINY layout differs from the default config's layout, so this restore
+    would fail the n_pad check if the sidecar were ignored."""
+    from nbody_tpu.parallel.sharding import ShardedWorld, make_mesh, shard_layout
+    from nbody_tpu.types import DEFAULT_SIM_CONFIG
+    from nbody_tpu.utils.checkpoint import (
+        load_sharded_world_orbax, save_world_orbax)
+
+    pytest.importorskip("orbax.checkpoint")
+    # N where TINY's 8-particle target tiles and the default 512 pad to
+    # different layouts (at tiny N both round to the same 128-alignment)
+    scene = make_galaxies(3000, 1, seed=6)
+    sw = ShardedWorld(scene, make_mesh(4), config=TINY, force_backend="jnp")
+    assert (shard_layout(sw.total_len, sw.mass_len, TINY, 4)
+            != shard_layout(sw.total_len, sw.mass_len, DEFAULT_SIM_CONFIG, 4))
+    path = str(tmp_path / "ck_cfg_sharded")
+    save_world_orbax(path, sw, step=1)
+
+    sw2, step = load_sharded_world_orbax(path, make_mesh(4),
+                                         force_backend="jnp")
+    assert step == 1 and sw2.config == TINY
+    np.testing.assert_array_equal(np.asarray(sw2.pos), np.asarray(sw.pos))
