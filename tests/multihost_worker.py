@@ -41,6 +41,12 @@ def main() -> None:
     world.update(0.005, 10)
     parts = multihost.gather_particles(world)
 
+    # Orbax is multi-process-native: every process writes only its own
+    # shards (shared filesystem). The test restores this on a
+    # single-process mesh — checkpoint/resume across process counts.
+    from nbody_tpu.utils.checkpoint import save_world_orbax
+    save_world_orbax(f"{outdir}/orbax_ckpt", world, step=10)
+
     np.savez(f"{outdir}/proc{proc_id}.npz",
              pos=parts.pos, vel=parts.vel, mass=parts.mass)
 

@@ -57,3 +57,12 @@ def test_sharded(monkeypatch):
     sw = g["sw"]
     assert sw.n_devices == 8
     assert np.isfinite(np.asarray(sw.particles.pos)).all()
+
+
+def test_multihost_pod(monkeypatch):
+    # single-process degenerate mode (the real 2-process path runs in
+    # test_multihost.py); gather_particles must equal the local gather here
+    g = _run("multihost_pod.py", [1024, "--cpu-demo"], monkeypatch)
+    parts = g["parts"]
+    assert parts.pos.shape == (1024, 2)
+    assert np.isfinite(np.asarray(parts.pos)).all()

@@ -59,13 +59,14 @@ def worker_outputs(tmp_path_factory):
                         "collective deadlock)")
         logs.append(out)
     assert all(p.returncode == 0 for p in procs), "\n".join(logs)[-2000:]
-    return [np.load(os.path.join(outdir, f"proc{i}.npz")) for i in (0, 1)]
+    return outdir, [np.load(os.path.join(outdir, f"proc{i}.npz"))
+                    for i in (0, 1)]
 
 
 def test_processes_agree(worker_outputs):
     """gather_particles replicates the identical global state to every
     process (process_allgather is deterministic)."""
-    a, b = worker_outputs
+    _, (a, b) = worker_outputs
     for key in ("pos", "vel", "mass"):
         np.testing.assert_array_equal(a[key], b[key])
 
@@ -75,7 +76,7 @@ def test_matches_single_process_mesh(worker_outputs):
     mesh: shard_layout depends only on (n, mass_len, config, D), so the
     per-device work — and hence the arithmetic — is identical; only the
     collective transport (Gloo vs in-process) differs."""
-    a, _ = worker_outputs
+    _, (a, _) = worker_outputs
     scene = nb.make_galaxies(N, GALAXIES, seed=SEED)
     sw = ShardedWorld(scene, make_mesh())
     assert sw.n_devices == 8
@@ -84,6 +85,24 @@ def test_matches_single_process_mesh(worker_outputs):
     np.testing.assert_allclose(a["mass"], ref.mass, rtol=0)
     np.testing.assert_allclose(a["pos"], ref.pos, rtol=0, atol=1e-5)
     np.testing.assert_allclose(a["vel"], ref.vel, rtol=0, atol=1e-5)
+
+
+def test_orbax_restore_across_process_counts(worker_outputs):
+    """The 2-process run's Orbax checkpoint (each process wrote only its
+    own shards) restores on a single-process 8-device mesh and keeps
+    running — checkpoint/resume across process counts, the multi-host
+    extension of the pod-resize recipe in test_checkpoint.py."""
+    from nbody_tpu.utils.checkpoint import load_sharded_world_orbax
+
+    outdir, (a, _) = worker_outputs
+    w, step = load_sharded_world_orbax(
+        os.path.join(outdir, "orbax_ckpt"), make_mesh())
+    assert step == SUBSTEPS
+    parts = w.particles
+    np.testing.assert_allclose(parts.pos, a["pos"], rtol=0, atol=1e-6)
+    np.testing.assert_allclose(parts.vel, a["vel"], rtol=0, atol=1e-6)
+    w.update(DT, 1)  # restored world is live
+    assert np.isfinite(w.particles.pos).all()
 
 
 def test_single_process_equivalence():
