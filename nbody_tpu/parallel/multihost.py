@@ -64,8 +64,11 @@ def initialize(
     global _INITIALIZED
     if _INITIALIZED:
         return
-    if cpu_collectives is not None and num_processes is not None:
-        # only meaningful for the CPU backend; harmless elsewhere
+    if cpu_collectives is not None:
+        # only meaningful for the CPU backend; harmless elsewhere. Applied
+        # unconditionally (not only for explicit num_processes) so
+        # auto-detected multi-process CPU launches (SLURM etc.) also get a
+        # cross-process collective backend.
         jax.config.update("jax_cpu_collectives_implementation", cpu_collectives)
     kwargs = {}
     if coordinator_address is not None:
@@ -146,11 +149,9 @@ def gather_particles(world: ShardedWorld) -> Particles:
     from jax.experimental import multihost_utils
 
     n = world.total_len
-
-    def host(a):
-        return np.asarray(
-            multihost_utils.process_allgather(a, tiled=True))[:n]
-
-    return Particles(pos=host(world.pos), vel=host(world.vel),
-                     acc=host(world.acc), mass=host(world.mass),
-                     radius=host(world.radius))
+    # one pytree allgather (a single collective + host sync, not five)
+    tree = multihost_utils.process_allgather(
+        {"pos": world.pos, "vel": world.vel, "acc": world.acc,
+         "mass": world.mass, "radius": world.radius}, tiled=True)
+    host = {k: np.asarray(v)[:n] for k, v in tree.items()}
+    return Particles(**host)

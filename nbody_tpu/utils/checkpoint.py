@@ -124,10 +124,24 @@ def save_world_orbax(path: str, world, step: int = 0) -> None:
         "mass": state.mass, "radius": state.radius,
     }
     base = os.path.abspath(path)
-    with ocp.StandardCheckpointer() as ckpt:
+    _drop_config_sidecar(base)  # a crash mid-save must not leave NEW arrays
+    with ocp.StandardCheckpointer() as ckpt:  # paired with a STALE config
         ckpt.save(os.path.join(base, "meta"), _meta_tree(world, step), force=True)
         ckpt.save(os.path.join(base, "arrays"), arrays, force=True)
     _save_config_sidecar(base, world.config)
+
+
+def _drop_config_sidecar(base: str) -> None:
+    import os
+
+    import jax
+
+    if jax.process_index() != 0:
+        return
+    try:
+        os.unlink(os.path.join(base, "config.json"))
+    except FileNotFoundError:
+        pass
 
 
 def _save_config_sidecar(base: str, config) -> None:
@@ -155,22 +169,31 @@ def _load_config_sidecar(base: str):
     Unknown keys (a future SimConfig field later removed, or a newer
     writer) are dropped with the remaining fields honored — layout-relevant
     fields have never been removed, and a wrong layout is caught by the
-    n_pad check downstream."""
+    n_pad check downstream. A sidecar that cannot be parsed at all
+    (truncated file, incompatible future format, values a different
+    SimConfig version rejects) degrades to the pre-sidecar behavior —
+    warn and return None — rather than making the checkpoint unloadable."""
+    import dataclasses
     import json
     import os
+    import warnings
 
     from ..types import SimConfig
 
+    sidecar = os.path.join(base, "config.json")
     try:
-        with open(os.path.join(base, "config.json")) as f:
+        with open(sidecar) as f:
             payload = json.load(f)
+        known = {f.name for f in dataclasses.fields(SimConfig)}
+        return SimConfig(**{k: v for k, v in payload["sim_config"].items()
+                            if k in known})
     except FileNotFoundError:
         return None
-    import dataclasses
-
-    known = {f.name for f in dataclasses.fields(SimConfig)}
-    return SimConfig(**{k: v for k, v in payload["sim_config"].items()
-                        if k in known})
+    except Exception as e:  # corrupt/incompatible sidecar, not a hard error
+        warnings.warn(f"ignoring unreadable checkpoint config sidecar "
+                      f"{sidecar} ({type(e).__name__}: {e}); pass config= "
+                      "explicitly to silence", stacklevel=3)
+        return None
 
 
 def _restore_meta(ckpt, base):
@@ -185,6 +208,19 @@ def _restore_meta(ckpt, base):
     target = {k: jax.ShapeDtypeStruct((), np.int64)
               for k in ("step", "total_len", "mass_len", "n_pad")}
     return {k: int(v) for k, v in ckpt.restore(meta_dir, target).items()}
+
+
+def _accepts_config(world_cls) -> bool:
+    """Whether ``world_cls(particles, config=...)`` is valid — guards the
+    sidecar injection for custom world classes without that kwarg."""
+    import inspect
+
+    try:
+        params = inspect.signature(world_cls).parameters
+    except (TypeError, ValueError):
+        return False
+    return "config" in params or any(
+        p.kind is inspect.Parameter.VAR_KEYWORD for p in params.values())
 
 
 def load_world_orbax(path: str, world_cls=None, **world_kwargs):
@@ -208,7 +244,7 @@ def load_world_orbax(path: str, world_cls=None, **world_kwargs):
             # round-1 layout: one flat tree with scalars inline
             tree = ckpt.restore(base)
             meta = {k: int(tree[k]) for k in ("step", "total_len", "mass_len")}
-    if "config" not in world_kwargs:
+    if "config" not in world_kwargs and _accepts_config(world_cls):
         saved = _load_config_sidecar(base)
         if saved is not None:
             world_kwargs["config"] = saved

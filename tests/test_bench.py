@@ -55,7 +55,7 @@ def test_cli_platform_flag_forces_cpu():
         [sys.executable, "bench.py", "--platform", "cpu", "--n", "250",
          "--iters", "2", "--warmup", "1", "--repeats", "1",
          "--backend", "jnp"],
-        capture_output=True, text=True, timeout=300, cwd=".",
+        capture_output=True, text=True, timeout=600, cwd=".",
     )
     assert out.returncode == 0, out.stderr[-500:]
     lines = [l for l in out.stdout.strip().splitlines() if l.strip()]

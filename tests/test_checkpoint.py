@@ -252,3 +252,40 @@ def test_orbax_config_sidecar_sharded_layout(tmp_path):
                                          force_backend="jnp")
     assert step == 1 and sw2.config == TINY
     np.testing.assert_array_equal(np.asarray(sw2.pos), np.asarray(sw.pos))
+
+
+def test_orbax_corrupt_config_sidecar_falls_back(tmp_path):
+    """A truncated/garbled config.json degrades to the pre-sidecar default
+    config with a warning — never an unloadable checkpoint."""
+    from nbody_tpu.types import DEFAULT_SIM_CONFIG
+    from nbody_tpu.utils.checkpoint import load_world_orbax, save_world_orbax
+
+    pytest.importorskip("orbax.checkpoint")
+    scene = make_galaxies(250, 1, seed=6)
+    w = create_world(scene, config=TINY)
+    path = str(tmp_path / "ck_corrupt")
+    save_world_orbax(path, w, step=0)
+    with open(f"{path}/config.json", "w") as f:
+        f.write('{"format": 1, "sim_co')  # interrupted copy
+    with pytest.warns(UserWarning, match="config sidecar"):
+        resumed, _ = load_world_orbax(path)
+    assert resumed.config == DEFAULT_SIM_CONFIG
+
+
+def test_orbax_custom_world_cls_without_config_kwarg(tmp_path):
+    """The sidecar is only injected when world_cls accepts config= — a
+    custom class without it keeps working against new checkpoints."""
+    from nbody_tpu.utils.checkpoint import load_world_orbax, save_world_orbax
+
+    pytest.importorskip("orbax.checkpoint")
+
+    class Bare:
+        def __init__(self, particles):
+            self.particles = particles
+
+    scene = make_galaxies(250, 1, seed=6)
+    w = create_world(scene, config=TINY)
+    path = str(tmp_path / "ck_bare")
+    save_world_orbax(path, w, step=4)
+    bare, step = load_world_orbax(path, world_cls=Bare)
+    assert step == 4 and bare.particles.pos.shape == (250, 2)

@@ -37,30 +37,38 @@ def _free_port() -> int:
 
 @pytest.fixture(scope="module")
 def worker_outputs(tmp_path_factory):
-    """Run the 2-process job once; several tests assert on its outputs."""
-    outdir = tmp_path_factory.mktemp("multihost")
-    port = _free_port()
-    procs = [
-        subprocess.Popen(
-            [sys.executable, WORKER, str(i), "2", str(port), str(outdir)],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-            cwd=REPO,
-        )
-        for i in (0, 1)
-    ]
-    logs = []
-    for p in procs:
-        try:
-            out, _ = p.communicate(timeout=420)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            pytest.fail("multihost worker hung (coordinator handshake or "
-                        "collective deadlock)")
-        logs.append(out)
-    assert all(p.returncode == 0 for p in procs), "\n".join(logs)[-2000:]
-    return outdir, [np.load(os.path.join(outdir, f"proc{i}.npz"))
-                    for i in (0, 1)]
+    """Run the 2-process job once; several tests assert on its outputs.
+
+    Two attempts: _free_port closes the socket before the coordinator
+    rebinds it, so another process can steal the port in between (TOCTOU);
+    a coordinator bind failure is retried on a fresh port."""
+    last_logs = ""
+    for attempt in range(2):
+        outdir = tmp_path_factory.mktemp(f"multihost{attempt}")
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, WORKER, str(i), "2", str(port), str(outdir)],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+                cwd=REPO,
+            )
+            for i in (0, 1)
+        ]
+        logs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=420)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                pytest.fail("multihost worker hung (coordinator handshake "
+                            "or collective deadlock)")
+            logs.append(out)
+        if all(p.returncode == 0 for p in procs):
+            return outdir, [np.load(os.path.join(outdir, f"proc{i}.npz"))
+                            for i in (0, 1)]
+        last_logs = "\n".join(logs)
+    pytest.fail(f"multihost workers failed twice:\n{last_logs[-2000:]}")
 
 
 def test_processes_agree(worker_outputs):
