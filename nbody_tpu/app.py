@@ -72,13 +72,38 @@ def _add_scene_args(p: argparse.ArgumentParser) -> None:
                         "empty-chunk skip (0 = off)")
 
 
+# CLI flag -> SimConfig field with the flag's argparse default; used to tell
+# "explicitly passed" (!= default) from "left at default" on resume, where
+# the checkpoint's saved config is the base. A flag explicitly set to its
+# default is indistinguishable from unset and keeps the saved value — a
+# no-op unless the save used a non-default the user wants to reset (pass it
+# off-default or drop --state for a fresh world in that corner).
+_CONFIG_FLAG_DEFAULTS = {
+    "precise": ("precise", False),
+    "integrator": ("integrator", "euler"),
+    "pm_grid": ("pm_grid", 512),
+    "pm_softening": ("pm_softening", 2.0),
+    "p3m_rc_cells": ("p3m_rc_cells", 4),
+    "p3m_cell_capacity": ("p3m_cell_capacity", 96),
+    "p3m_exact_targets": ("p3m_exact_targets", 64),
+    "p3m_rebin": ("p3m_rebin_interval", 1),
+    "p3m_pp_chunk": ("p3m_pp_chunk", 64),
+}
+
+
 def _make_world(args):
     """Build the world; returns (world, start_step) where start_step is the
     resumed checkpoint's accumulated substep counter (0 for a fresh scene)."""
+    import dataclasses
+
     start = 0
+    saved = None
     if args.state:
         particles, extra = load_particles(args.state)
         start = int(extra.get("step", 0))
+        from .utils.checkpoint import saved_config
+
+        saved = saved_config(extra)
     else:
         particles = make_galaxies(args.n, args.galaxies, seed=args.seed)
     pm_grid = args.pm_grid
@@ -87,13 +112,23 @@ def _make_world(args):
 
         pm_grid = suggest_grid(particles.pos.shape[0])
         print(f"pm_grid auto -> {pm_grid}", file=sys.stderr)
-    config = SimConfig(precise=args.precise, integrator=args.integrator,
-                       pm_grid=pm_grid, pm_softening=args.pm_softening,
-                       p3m_rc_cells=args.p3m_rc_cells,
-                       p3m_cell_capacity=args.p3m_cell_capacity,
-                       p3m_exact_targets=args.p3m_exact_targets,
-                       p3m_rebin_interval=args.p3m_rebin,
-                       p3m_pp_chunk=args.p3m_pp_chunk)
+    if saved is not None:
+        # resume reproduces the save-time physics: checkpoint config is the
+        # base; only explicitly passed flags override it
+        overrides = {}
+        for flag, (field, default) in _CONFIG_FLAG_DEFAULTS.items():
+            value = pm_grid if flag == "pm_grid" else getattr(args, flag)
+            if getattr(args, flag) != default:
+                overrides[field] = value
+        config = dataclasses.replace(saved, **overrides)
+    else:
+        config = SimConfig(precise=args.precise, integrator=args.integrator,
+                           pm_grid=pm_grid, pm_softening=args.pm_softening,
+                           p3m_rc_cells=args.p3m_rc_cells,
+                           p3m_cell_capacity=args.p3m_cell_capacity,
+                           p3m_exact_targets=args.p3m_exact_targets,
+                           p3m_rebin_interval=args.p3m_rebin,
+                           p3m_pp_chunk=args.p3m_pp_chunk)
     if getattr(args, "shard", False):
         # multi-chip: shard the run over every visible device (pod slices;
         # on one chip this degenerates to a 1-device mesh). The backend is

@@ -38,9 +38,19 @@ def load_particles(path: str) -> tuple[Particles, dict]:
 
 
 def save_world(path: str, world, step: int = 0) -> None:
-    """Checkpoint a World (single-chip or sharded): unpadded state + counters."""
+    """Checkpoint a World (single-chip or sharded): unpadded state +
+    counters + the SimConfig (JSON string), so a resume can rebuild the
+    same physics without the caller re-supplying save-time tuning."""
     save_particles(path, world.particles, step=np.int64(step),
-                   mass_len=np.int64(world.mass_len))
+                   mass_len=np.int64(world.mass_len),
+                   sim_config=_config_json(world.config))
+
+
+def _config_json(config) -> str:
+    import dataclasses
+    import json
+
+    return json.dumps(dataclasses.asdict(config))
 
 
 def save_world_atomic(path: str, world, step: int = 0) -> None:
@@ -60,7 +70,8 @@ def save_world_atomic(path: str, world, step: int = 0) -> None:
         # open() would have produced (group-shared resume workflows)
         os.chmod(tmp, 0o666 & ~_current_umask())
         save_particles(tmp, world.particles, step=np.int64(step),
-                       mass_len=np.int64(world.mass_len))
+                       mass_len=np.int64(world.mass_len),
+                       sim_config=_config_json(world.config))
         # flush file contents to disk before the rename becomes visible, so
         # a power loss (not just a SIGKILL) cannot expose a truncated target
         with open(tmp, "rb+") as f:
@@ -81,11 +92,37 @@ def _current_umask() -> int:
 
 
 def load_world(path: str, world_cls=None, **world_kwargs):
-    """Resume a World from a checkpoint. Returns (world, step)."""
+    """Resume a World from a checkpoint. Returns (world, step).
+
+    When the checkpoint carries a SimConfig (save_world has recorded one
+    since round 3) and no ``config=`` is passed, the saved one is used —
+    a resume reproduces the save-time physics by default."""
     if world_cls is None:
         from ..world import World as world_cls  # noqa: N813
     p, extra = load_particles(path)
+    if ("sim_config" in extra and "config" not in world_kwargs
+            and _accepts_config(world_cls)):
+        saved = saved_config(extra)
+        if saved is not None:
+            world_kwargs["config"] = saved
     return world_cls(p, **world_kwargs), int(extra.get("step", 0))
+
+
+def saved_config(extra: dict):
+    """SimConfig from load_particles metadata, or None (absent/corrupt)."""
+    import json
+    import warnings
+
+    if "sim_config" not in extra:
+        return None
+    try:
+        return config_from_dict(json.loads(str(np.asarray(
+            extra["sim_config"]).item())))
+    except Exception as e:
+        warnings.warn(f"ignoring unreadable sim_config in checkpoint "
+                      f"({type(e).__name__}: {e}); pass config= explicitly "
+                      "to silence", stacklevel=3)
+        return None
 
 
 # --- Orbax-backed checkpointing (sharded-array native, async-capable) -----
@@ -166,27 +203,19 @@ def _save_config_sidecar(base: str, config) -> None:
 def _load_config_sidecar(base: str):
     """SimConfig from <base>/config.json, or None for older checkpoints.
 
-    Unknown keys (a future SimConfig field later removed, or a newer
-    writer) are dropped with the remaining fields honored — layout-relevant
-    fields have never been removed, and a wrong layout is caught by the
-    n_pad check downstream. A sidecar that cannot be parsed at all
-    (truncated file, incompatible future format, values a different
-    SimConfig version rejects) degrades to the pre-sidecar behavior —
-    warn and return None — rather than making the checkpoint unloadable."""
-    import dataclasses
+    A sidecar that cannot be parsed (truncated file, incompatible future
+    format, values a different SimConfig version rejects) degrades to the
+    pre-sidecar behavior — warn and return None — rather than making the
+    checkpoint unloadable. Unknown-key tolerance: see config_from_dict."""
     import json
     import os
     import warnings
-
-    from ..types import SimConfig
 
     sidecar = os.path.join(base, "config.json")
     try:
         with open(sidecar) as f:
             payload = json.load(f)
-        known = {f.name for f in dataclasses.fields(SimConfig)}
-        return SimConfig(**{k: v for k, v in payload["sim_config"].items()
-                            if k in known})
+        return config_from_dict(payload["sim_config"])
     except FileNotFoundError:
         return None
     except Exception as e:  # corrupt/incompatible sidecar, not a hard error
@@ -194,6 +223,19 @@ def _load_config_sidecar(base: str):
                       f"{sidecar} ({type(e).__name__}: {e}); pass config= "
                       "explicitly to silence", stacklevel=3)
         return None
+
+
+def config_from_dict(d: dict):
+    """SimConfig from a saved field dict. Unknown keys (a future SimConfig
+    field later removed, or a newer writer) are dropped with the remaining
+    fields honored — layout-relevant fields have never been removed, and a
+    wrong layout is caught by the n_pad check downstream."""
+    import dataclasses
+
+    from ..types import SimConfig
+
+    known = {f.name for f in dataclasses.fields(SimConfig)}
+    return SimConfig(**{k: v for k, v in d.items() if k in known})
 
 
 def _restore_meta(ckpt, base):

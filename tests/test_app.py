@@ -183,3 +183,30 @@ def test_dt_auto_zero_radius_rejected(tmp_path):
     save_particles(state, sc)
     with pytest.raises(SystemExit, match="timescale"):
         main(["run", "--state", state, "--steps", "1", "--dt", "auto"])
+
+
+def test_resume_inherits_saved_config(tmp_path):
+    """A resumed run reproduces the save-time physics by default: the
+    checkpoint carries the SimConfig, and flags left at their defaults do
+    not clobber it — while an explicitly passed flag still overrides."""
+    from nbody_tpu.utils.checkpoint import load_world
+
+    state = str(tmp_path / "state.npz")
+    main(["run", "--n", "250", "--galaxies", "1", "--steps", "2",
+          "--integrator", "leapfrog", "--pm-softening", "3.5",
+          "--save", state])
+
+    # library-level: a bare load_world picks the saved config up
+    w, step = load_world(state)
+    assert step == 2
+    assert w.config.integrator == "leapfrog"
+    assert w.config.pm_softening == 3.5
+
+    # CLI resume without flags keeps leapfrog; overriding one flag keeps
+    # the rest of the saved config
+    s2 = str(tmp_path / "s2.npz")
+    main(["run", "--state", state, "--steps", "1", "--save", s2,
+          "--pm-softening", "4.0"])
+    w2, _ = load_world(s2)
+    assert w2.config.integrator == "leapfrog"   # inherited
+    assert w2.config.pm_softening == 4.0        # overridden
