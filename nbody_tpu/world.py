@@ -149,13 +149,23 @@ def _step(
     backend: Backend,
     interpret: bool | None,
     p3m_bins=None,
+    extra_force=None,
 ) -> Particles:
     """One substep: force + semi-implicit Euler. Jacobi snapshot semantics —
     all targets see the same pre-step source positions (the reference's
     re-pack-per-substep / double-buffer rule, world.c:101-107, sim_gpu.c:19)
-    hold automatically since ``state.pos`` is read once, functionally."""
+    hold automatically since ``state.pos`` is read once, functionally.
+
+    ``extra_force(pos, vel) -> acc`` (optional) adds a user acceleration
+    field — external potentials, drag, thrust — on top of self-gravity,
+    applied to every real particle (massless tracers included). ``vel`` is
+    the substep-entry velocity; for multi-stage integrators the hook sees
+    the same vel at every stage (a velocity-dependent hook breaks strict
+    symplecticity anyway). With a hook, the pallas backends route through
+    the generic stage loop (force kernel + hook + integrate) instead of the
+    fused in-kernel integration."""
     ws = integrators.stage_weights(config.integrator)
-    if backend in ("pallas", "pallas_fused"):
+    if backend in ("pallas", "pallas_fused") and extra_force is None:
         # whole substep (force + integrate) in ONE kernel launch per DKD
         # stage (ops/pallas_forces.fused_substep). "pallas_fused" is an
         # alias — since round 2 the flagship kernel integrates in-kernel
@@ -187,9 +197,12 @@ def _step(
     def force_at(p):
         at = Particles(pos=p, vel=state.vel, acc=state.acc,
                        mass=state.mass, radius=state.radius)
-        return _force(at, gm, src_len=src_len, config=config,
-                      backend=backend, interpret=interpret, valid=valid,
-                      p3m_bins=p3m_bins) * valid
+        acc = _force(at, gm, src_len=src_len, config=config,
+                     backend=backend, interpret=interpret, valid=valid,
+                     p3m_bins=p3m_bins)
+        if extra_force is not None:
+            acc = acc + extra_force(p, state.vel)
+        return acc * valid
 
     pos, vel, acc = integrators.advance(
         config.integrator, force_at, state.pos, state.vel, dt)
@@ -325,7 +338,8 @@ def p3m_substep_loop(state: Particles, bins, start, n, body, bins_of,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("src_len", "config", "backend", "interpret"),
+    static_argnames=("src_len", "config", "backend", "interpret",
+                     "extra_force"),
     donate_argnums=(0,),
 )
 def update_state(
@@ -339,13 +353,17 @@ def update_state(
     config: SimConfig,
     backend: Backend,
     interpret: bool | None = None,
+    extra_force=None,
 ) -> Particles:
     """Perform ``n`` substeps of size ``dt`` — the whole batch fused in one
     jitted call, no host round-trips (nbody.h:69-73 semantics). ``dt`` and
-    ``n`` are traced, so speed/step changes never recompile."""
+    ``n`` are traced, so speed/step changes never recompile.
+    ``extra_force`` (see :func:`_step`) is jit-static: each distinct
+    function object compiles once — define the hook once and reuse it."""
     body = functools.partial(
         _step, gm=gm, valid=valid, dt=dt,
         src_len=src_len, config=config, backend=backend, interpret=interpret,
+        extra_force=extra_force,
     )
     if backend == "p3m":
         # Always route through the bins loop: the exact-core row selection
@@ -419,7 +437,12 @@ class World:
         self._host_cache: Particles | None = None
 
     # -- update ---------------------------------------------------------
-    def update(self, dt: float, n: int = 1, backend: Backend | None = None) -> "World":
+    def update(self, dt: float, n: int = 1, backend: Backend | None = None,
+               extra_force=None) -> "World":
+        """n substeps. ``extra_force(pos, vel) -> acc`` optionally adds a
+        user acceleration field (external potential, drag, thrust) on top
+        of self-gravity — jit-static, so define the hook once and reuse the
+        same function object across calls."""
         if n <= 0:
             return self
         backend = resolve_backend(backend or self.default_backend,
@@ -433,6 +456,7 @@ class World:
             src_len=effective_src_len(backend, self.src_len, self.mass_len),
             config=self.config,
             backend=backend,
+            extra_force=extra_force,
         )
         self._host_cache = None
         return self

@@ -1,0 +1,115 @@
+"""User acceleration-field hook (`World.update(extra_force=...)`).
+
+Beyond-reference capability: external potentials, drag, thrust composed
+with self-gravity inside the same fused substep loop. The reference has no
+extension point at all (its force law is baked into the shader/SIMD loop).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import nbody_tpu as nb
+from nbody_tpu.types import SimConfig, make_particles
+from helpers import TINY
+
+DT = 0.01
+
+
+def _tracer_world(vel=(0.0, 0.0), config=TINY):
+    """One massless tracer: self-gravity is identically zero, so the hook's
+    acceleration is the ONLY dynamics — closed-form checkable."""
+    p = make_particles(np.zeros((1, 2), np.float32),
+                       vel=np.asarray([vel], np.float32))
+    return nb.create_world(p, config=config)
+
+
+def _uniform_field(pos, vel):
+    return jnp.broadcast_to(jnp.asarray([0.0, -9.8], jnp.float32), pos.shape)
+
+
+def test_uniform_field_matches_euler_closed_form():
+    w = _tracer_world()
+    n = 50
+    w.update(DT, n, backend="jnp", extra_force=_uniform_field)
+    # semi-implicit Euler under constant acc: v_k = k*a*dt,
+    # x_k = sum v_i*dt = a*dt^2 * k(k+1)/2
+    vy = float(w.particles.vel[0, 1])
+    y = float(w.particles.pos[0, 1])
+    assert vy == pytest.approx(-9.8 * DT * n, rel=1e-5)
+    assert y == pytest.approx(-9.8 * DT * DT * n * (n + 1) / 2, rel=1e-4)
+
+
+def test_drag_decays_velocity():
+    k = 2.0
+
+    def drag(pos, vel):
+        return -k * vel
+
+    w = _tracer_world(vel=(3.0, 0.0))
+    w.update(DT, 100, backend="jnp", extra_force=drag)
+    # Euler with the substep-entry velocity: v *= (1 - k*dt) each substep
+    expect = 3.0 * (1.0 - k * DT) ** 100
+    assert float(w.particles.vel[0, 0]) == pytest.approx(expect, rel=1e-4)
+    assert abs(float(w.particles.vel[0, 1])) == 0.0
+
+
+def test_composes_with_gravity_and_every_backend():
+    """The hook adds to (not replaces) self-gravity, identically across
+    backends — pallas routes through the generic stage loop when hooked."""
+    scene = nb.make_galaxies(250, 1, seed=3)
+    ref = nb.create_world(scene, config=TINY)
+    ref.update(DT, 5, backend="jnp")
+    base = np.asarray(ref.particles.pos)
+
+    results = {}
+    for backend in ("jnp", "pallas", "p3m"):
+        w = nb.create_world(scene, config=TINY)
+        w.update(DT, 5, backend=backend, extra_force=_uniform_field)
+        results[backend] = np.asarray(w.particles.pos)
+    got = results["jnp"]
+    # hook acted: the whole system drifted down by ~a*dt^2*k(k+1)/2 on top
+    # of gravity (center-of-mass shift is exact under a uniform field)
+    shift = -9.8 * DT * DT * 5 * 6 / 2
+    com_delta = got[:, 1].mean() - base[:, 1].mean()
+    # fp32 positions are O(600): per-element rounding ~4e-5 absolute
+    assert com_delta == pytest.approx(shift, abs=3e-4)
+    scale = np.abs(got).max()
+    np.testing.assert_allclose(results["pallas"] / scale, got / scale,
+                               atol=2e-5)
+    np.testing.assert_allclose(results["p3m"] / scale, got / scale,
+                               atol=3e-3)  # p3m: near-exact mesh handoff
+
+
+def test_applies_to_massless_and_respects_padding():
+    """Tracers feel the field; padding rows stay exactly zero."""
+    scene = nb.make_galaxies(250, 1, seed=3)
+    w = nb.create_world(scene, config=TINY)
+    w.update(DT, 3, backend="jnp", extra_force=_uniform_field)
+    pad = np.asarray(w.state.pos)[w.total_len:]
+    assert np.all(pad == 0.0)
+
+    # all-massless world: zero self-gravity isolates the hook — every
+    # tracer's vy is exactly the accumulated field
+    p = make_particles(np.random.default_rng(0)
+                       .uniform(-5, 5, (16, 2)).astype(np.float32))
+    wt = nb.create_world(p, config=TINY)
+    wt.update(DT, 3, backend="jnp", extra_force=_uniform_field)
+    np.testing.assert_allclose(np.asarray(wt.particles.vel)[:, 1],
+                               -9.8 * DT * 3, rtol=1e-5)
+
+
+def test_leapfrog_with_position_hook():
+    """A position-only (conservative) hook under the symplectic integrator:
+    harmonic trap, energy bounded over many periods."""
+    def trap(pos, vel):
+        return -4.0 * pos
+
+    cfg = SimConfig(tile_targets=TINY.tile_targets,
+                    tile_sources=TINY.tile_sources, integrator="leapfrog")
+    w = _tracer_world(vel=(0.0, 1.0), config=cfg)
+    e0 = 0.5 * 1.0**2  # unit "mass" energy: v^2/2 + 2*x^2
+    w.update(DT, 2000, backend="jnp", extra_force=trap)
+    x, v = np.asarray(w.particles.pos)[0], np.asarray(w.particles.vel)[0]
+    e = 0.5 * float(v @ v) + 2.0 * float(x @ x)
+    assert e == pytest.approx(e0, rel=2e-3)  # symplectic: bounded, no drift
