@@ -70,6 +70,12 @@ def _add_scene_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--p3m-pp-chunk", type=int, default=64,
                    help="p3m: PP pair-map chunk size for the exact "
                         "empty-chunk skip (0 = off)")
+    p.add_argument("--merge", nargs="?", const=1.0, type=float, default=None,
+                   metavar="FACTOR",
+                   help="inelastic collision merging: overlapping massive "
+                        "bodies (|d| < FACTOR*(r_i+r_j), default 1.0) merge "
+                        "lighter-into-heavier with exact mass/momentum "
+                        "transfer (backends jnp/pallas/pm)")
 
 
 # CLI flag -> SimConfig field with the flag's argparse default; used to tell
@@ -120,6 +126,9 @@ def _make_world(args):
             value = pm_grid if flag == "pm_grid" else getattr(args, flag)
             if getattr(args, flag) != default:
                 overrides[field] = value
+        if args.merge is not None:
+            overrides["merge_collisions"] = True
+            overrides["merge_factor"] = args.merge
         config = dataclasses.replace(saved, **overrides)
     else:
         config = SimConfig(precise=args.precise, integrator=args.integrator,
@@ -128,7 +137,10 @@ def _make_world(args):
                            p3m_cell_capacity=args.p3m_cell_capacity,
                            p3m_exact_targets=args.p3m_exact_targets,
                            p3m_rebin_interval=args.p3m_rebin,
-                           p3m_pp_chunk=args.p3m_pp_chunk)
+                           p3m_pp_chunk=args.p3m_pp_chunk,
+                           merge_collisions=args.merge is not None,
+                           merge_factor=(1.0 if args.merge is None
+                                         else args.merge))
     if getattr(args, "shard", False):
         # multi-chip: shard the run over every visible device (pod slices;
         # on one chip this degenerates to a 1-device mesh). The backend is

@@ -292,6 +292,11 @@ class ShardedWorld:
         self.mesh = mesh if mesh is not None else make_mesh()
         d = self.mesh.devices.size
         self.n_devices = d
+        if config.merge_collisions:
+            raise ValueError(
+                "merge_collisions is single-chip only (the merge pass "
+                "needs the full massive set resident; a collective merge "
+                "is future work) — drop the flag or run unsharded")
         self.config = config
 
         from ..types import DTYPE
@@ -360,6 +365,10 @@ class ShardedWorld:
         self.mesh = mesh
         d = mesh.devices.size
         self.n_devices = d
+        if config.merge_collisions:
+            raise ValueError(
+                "merge_collisions is single-chip only — restore this "
+                "checkpoint through load_world_orbax (host path) instead")
         self.config = config
         self.force_backend = force_backend = _default_force_backend(
             force_backend, total_len, mass_len, d)

@@ -37,12 +37,44 @@ def record_states(
     config: SimConfig,
     backend: str,
 ):
-    """Run frames*steps_per_frame substeps; return (final_state, pos_frames)
-    where pos_frames has shape (frames, N_pad, 2)."""
+    """Run frames*steps_per_frame substeps; return
+    (final_state, final_gm, pos_frames) where pos_frames has shape
+    (frames, N_pad, 2). ``gm`` only changes under
+    ``config.merge_collisions`` (absorbed sources go inert); it is
+    returned in every branch so callers have one contract."""
     body = functools.partial(
         _step, gm=gm, valid=valid, dt=dt,
         src_len=src_len, config=config, backend=backend, interpret=None,
     )
+
+    if config.merge_collisions:
+        # same substep-then-merge loop as world.update_state_merging, with
+        # gm carried through the capture scan
+        if backend == "p3m":
+            raise ValueError(
+                "merge_collisions is not supported with backend='p3m' "
+                "(frozen cell blocks); use 'jnp', 'pallas', or 'pm'")
+        from .ops.collisions import merge_pass
+
+        def sub(carry):
+            st, gm = carry
+            st = _step(st, gm, valid, dt, src_len=src_len, config=config,
+                       backend=backend, interpret=None)
+            pos, vel, radius, mass, gm_src = merge_pass(
+                st.pos, st.vel, st.radius, st.mass, gm[:src_len],
+                factor=config.merge_factor, g=config.g,
+                chunk=min(512, src_len))
+            return Particles(pos=pos, vel=vel, acc=st.acc, mass=mass,
+                             radius=radius), gm.at[:src_len].set(gm_src)
+
+        def frame_body(carry, _):
+            carry = jax.lax.fori_loop(
+                0, steps_per_frame, lambda _, c: sub(c), carry)
+            return carry, carry[0].pos
+
+        (st, gm), traj = jax.lax.scan(frame_body, (state, gm), None,
+                                      length=frames)
+        return st, gm, traj
 
     if backend == "p3m":
         # Same frozen-bins loop as world.update_state (shared helpers): the
@@ -66,13 +98,14 @@ def record_states(
         (st, _), traj = jax.lax.scan(
             frame_body, (state, bins_of(state)),
             jnp.arange(frames, dtype=jnp.int32))
-        return st, traj
+        return st, gm, traj
 
     def frame_body(st, _):
         st = jax.lax.fori_loop(0, steps_per_frame, lambda _, s: body(s), st)
         return st, st.pos
 
-    return jax.lax.scan(frame_body, state, None, length=frames)
+    st, traj = jax.lax.scan(frame_body, state, None, length=frames)
+    return st, gm, traj
 
 
 def record_trajectory(
@@ -89,13 +122,14 @@ def record_trajectory(
     backend = resolve_backend(backend or world.default_backend,
                               world.total_len, world.mass_len)
 
-    state, traj = record_states(
+    state, gm, traj = record_states(
         world.state, world.gm, world.valid, jnp.float32(dt),
         frames=frames, steps_per_frame=steps_per_frame,
         src_len=effective_src_len(backend, world.src_len, world.mass_len),
         config=world.config, backend=backend,
     )
     world.state = state
+    world.gm = gm
     world._host_cache = None
     return np.asarray(traj[:, : world.total_len, :])
 

@@ -175,8 +175,21 @@ class SimConfig:
     # the PP stage at N=1M (scripts/tune_r3g_pp_skip.py). 0 disables;
     # silently ignored when the value does not divide gc².
     p3m_pp_chunk: int = 64
+    # Perfectly inelastic collision merging (opt-in, no reference
+    # counterpart): after each substep, overlapping massive bodies
+    # (|d| < merge_factor * (r_i + r_j)) merge lighter-into-heavier with
+    # exact mass/momentum transfer; the absorbed row becomes a massless
+    # tracer (static shapes — nothing is ever removed). O(M²) contact
+    # pass per substep on the massive prefix — see ops/collisions.py.
+    # Supported on the jnp / pallas / pm backends (p3m's frozen gm cell
+    # blocks would go stale; rejected at update time).
+    merge_collisions: bool = False
+    merge_factor: float = 1.0
 
     def __post_init__(self):
+        if self.merge_factor <= 0:
+            raise ValueError(
+                f"merge_factor must be > 0, got {self.merge_factor}")
         if self.integrator not in ("euler", "leapfrog", "yoshida4"):
             raise ValueError(
                 "integrator must be 'euler', 'leapfrog', or 'yoshida4', "

@@ -380,6 +380,56 @@ def update_state(
     return jax.lax.fori_loop(0, n, lambda _, st: body(st), state)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("src_len", "config", "backend", "interpret",
+                     "extra_force"),
+    donate_argnums=(0, 1),
+)
+def update_state_merging(
+    state: Particles,
+    gm: jax.Array,
+    valid: jax.Array,
+    dt: jax.Array,
+    n: jax.Array,
+    *,
+    src_len: int,
+    config: SimConfig,
+    backend: Backend,
+    interpret: bool | None = None,
+    extra_force=None,
+) -> tuple[Particles, jax.Array]:
+    """``update_state`` with ``SimConfig.merge_collisions``: each substep is
+    followed by a simultaneous inelastic merge resolution
+    (ops/collisions.merge_pass), and ``gm`` — the G-premultiplied source
+    row every backend reads — becomes carried state. Returns (state, gm).
+
+    p3m is rejected here (its frozen gm-derived cell blocks would go stale
+    mid-loop); jnp / pallas / pm read ``gm`` fresh each substep."""
+    from .ops.collisions import merge_pass
+
+    if backend == "p3m":
+        raise ValueError(
+            "merge_collisions is not supported with backend='p3m' (frozen "
+            "cell blocks); use 'jnp', 'pallas', or 'pm'")
+
+    def body(_, carry):
+        st, gm = carry
+        st = _step(st, gm, valid, dt, src_len=src_len, config=config,
+                   backend=backend, interpret=interpret,
+                   extra_force=extra_force)
+        # contact pass over the massive prefix only (every live row sits
+        # below src_len; rows past it have gm == 0 and stay inert)
+        pos, vel, radius, mass, gm_src = merge_pass(
+            st.pos, st.vel, st.radius, st.mass, gm[:src_len],
+            factor=config.merge_factor, g=config.g,
+            chunk=min(512, src_len))
+        return Particles(pos=pos, vel=vel, acc=st.acc, mass=mass,
+                         radius=radius), gm.at[:src_len].set(gm_src)
+
+    return jax.lax.fori_loop(0, n, body, (state, gm))
+
+
 class World:
     """Stateful wrapper mirroring the reference World ergonomics.
 
@@ -447,17 +497,17 @@ class World:
             return self
         backend = resolve_backend(backend or self.default_backend,
                                   self.total_len, self.mass_len)
-        self.state = update_state(
-            self.state,
-            self.gm,
-            self.valid,
-            jnp.float32(dt),
-            jnp.int32(n),
+        kwargs = dict(
             src_len=effective_src_len(backend, self.src_len, self.mass_len),
-            config=self.config,
-            backend=backend,
-            extra_force=extra_force,
+            config=self.config, backend=backend, extra_force=extra_force,
         )
+        args = (self.state, self.gm, self.valid,
+                jnp.float32(dt), jnp.int32(n))
+        if self.config.merge_collisions:
+            # gm is carried state under merging (absorbed rows go inert)
+            self.state, self.gm = update_state_merging(*args, **kwargs)
+        else:
+            self.state = update_state(*args, **kwargs)
         self._host_cache = None
         return self
 

@@ -1,0 +1,194 @@
+"""Inelastic collision merging (SimConfig.merge_collisions; ops/collisions.py).
+
+Beyond-reference capability. The design invariants under test: exact
+mass/momentum transfer, volume-additive radii, lighter-into-heavier with
+index tiebreak, chain deferral (a winner is never zeroed in the same
+pass), static shapes (absorbed rows become massless tracers), and an
+exact no-op on contact-free worlds.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import nbody_tpu as nb
+from nbody_tpu.types import make_particles
+from helpers import TINY
+
+MERGE = dataclasses.replace(TINY, merge_collisions=True)
+DT = 1e-4  # tiny: merge geometry dominates, gravity barely moves anything
+
+
+def _world(pos, mass, radius, vel=None, config=MERGE):
+    pos = np.asarray(pos, np.float32)
+    p = make_particles(
+        pos,
+        vel=None if vel is None else np.asarray(vel, np.float32),
+        mass=np.asarray(mass, np.float32),
+        radius=np.asarray(radius, np.float32),
+    )
+    return nb.create_world(p, config=config)
+
+
+def test_two_body_merge_conserves_everything():
+    w = _world([[0.0, 0.0], [1.0, 0.0]], mass=[5.0, 3.0], radius=[0.7, 0.7])
+    w.update(DT, 1, backend="jnp")
+    p = w.particles
+    # heavier (index 0) absorbed the lighter
+    assert p.mass[0] == pytest.approx(8.0)
+    assert p.mass[1] == 0.0
+    # center of mass and momentum conserved (started at rest; internal
+    # gravity kicks cancel in the total)
+    assert p.pos[0] @ np.array([1.0, 0.0]) == pytest.approx(3.0 / 8.0, abs=1e-4)
+    mom = (p.mass[:, None] * p.vel).sum(0)
+    assert np.abs(mom).max() < 1e-5
+    # volume-additive radius; absorbed row is a standard tracer riding along
+    assert p.radius[0] == pytest.approx((2 * 0.7**3) ** (1 / 3), rel=1e-5)
+    assert p.radius[1] == pytest.approx(0.5)
+    np.testing.assert_allclose(p.pos[1], p.pos[0])
+    np.testing.assert_allclose(p.vel[1], p.vel[0])
+
+
+def test_equal_masses_lower_index_wins():
+    w = _world([[0.0, 0.0], [1.0, 0.0]], mass=[3.0, 3.0], radius=[0.7, 0.7])
+    w.update(DT, 1, backend="jnp")
+    p = w.particles
+    assert p.mass[0] == pytest.approx(6.0) and p.mass[1] == 0.0
+
+
+def test_chain_defers_one_substep():
+    """A(1) contacts only B(2); B contacts C(4): B→C merges this substep,
+    A is deferred because its winner is itself a loser."""
+    w = _world([[0.0, 0.0], [1.0, 0.0], [2.0, 0.0]],
+               mass=[1.0, 2.0, 4.0], radius=[0.6, 0.6, 0.6])
+    w.update(DT, 1, backend="jnp")
+    p = w.particles
+    assert p.mass[0] == pytest.approx(1.0)      # deferred
+    assert p.mass[1] == 0.0                     # absorbed by C
+    assert p.mass[2] == pytest.approx(6.0)
+    assert p.mass.sum() == pytest.approx(7.0)   # nothing lost in the chain
+
+
+def test_contact_free_world_is_bit_identical():
+    scene = nb.make_galaxies(250, 1, seed=5)
+    # stock galaxy: bodies are well separated at generation time
+    a = nb.create_world(scene, config=MERGE)
+    b = nb.create_world(scene, config=TINY)
+    a.update(0.01, 3, backend="jnp")
+    b.update(0.01, 3, backend="jnp")
+    np.testing.assert_array_equal(np.asarray(a.particles.pos),
+                                  np.asarray(b.particles.pos))
+    np.testing.assert_array_equal(np.asarray(a.particles.mass),
+                                  np.asarray(b.particles.mass))
+
+
+def _dense_cluster(config, n=64):
+    rng = np.random.default_rng(1)
+    return _world(rng.uniform(-3, 3, (n, 2)),
+                  mass=rng.uniform(0.5, 2.0, n),
+                  radius=np.full(n, 0.4),
+                  vel=rng.normal(0, 0.2, (n, 2)),
+                  config=config)
+
+
+def test_merges_conserve_momentum_exactly():
+    """Gravity off (g ~ 0): ballistic bodies overlap and merge; the merge
+    pass itself must conserve mass and momentum to fp exactness. (With
+    gravity ON, momentum drifts through the reference's asymmetric
+    softening — r² = d² + radius_target breaks Newton's third law whenever
+    radii differ, merged bodies included; that drift is a property of the
+    reference force law, not of merging — see test below.)"""
+    cfg = dataclasses.replace(MERGE, g=1e-12)
+    w = _dense_cluster(cfg)
+    n = 64
+    m0 = float(np.asarray(w.particles.mass).sum())
+    p0 = (np.asarray(w.particles.mass)[:, None]
+          * np.asarray(w.particles.vel)).sum(0)
+    w.update(0.05, 40, backend="jnp")
+    p = w.particles
+    assert (p.mass > 0).sum() < n               # merges actually happened
+    assert float(p.mass.sum()) == pytest.approx(m0, rel=1e-6)
+    mom = (p.mass[:, None] * p.vel).sum(0)
+    np.testing.assert_allclose(mom, p0, atol=1e-5)
+
+
+@pytest.mark.parametrize("backend", ["jnp", "pallas", "pm"])
+def test_long_run_with_gravity(backend):
+    """Self-gravitating dense cluster: merges happen on every backend,
+    mass is conserved, and the gm source row tracks G*mass throughout."""
+    w = _dense_cluster(MERGE)
+    n = 64
+    m0 = float(np.asarray(w.particles.mass).sum())
+    w.update(1e-3, 40, backend=backend)
+    p = w.particles
+    assert (p.mass > 0).sum() < n               # merges actually happened
+    assert float(p.mass.sum()) == pytest.approx(m0, rel=1e-5)
+    assert np.isfinite(p.pos).all() and np.isfinite(p.vel).all()
+    # gm row stays consistent with the merged masses
+    gm = np.asarray(w.gm)[:w.mass_len]
+    np.testing.assert_allclose(gm, 10.0 * np.asarray(p.mass)[:w.mass_len],
+                               rtol=1e-6)
+
+
+def test_tracers_never_merge():
+    w = _world([[0.0, 0.0], [0.3, 0.0], [0.6, 0.0]],
+               mass=[4.0, 0.0, 0.0], radius=[0.7, 0.5, 0.5])
+    w.update(DT, 2, backend="jnp")
+    p = w.particles
+    assert p.mass[0] == pytest.approx(4.0)      # nothing absorbed
+    assert (p.mass[1:] == 0.0).all()
+
+
+def test_p3m_rejected():
+    w = _world([[0.0, 0.0], [50.0, 0.0]], mass=[5.0, 3.0],
+               radius=[0.7, 0.7])
+    with pytest.raises(ValueError, match="merge_collisions"):
+        w.update(DT, 1, backend="p3m")
+
+
+def test_merge_factor_validation():
+    with pytest.raises(ValueError, match="merge_factor"):
+        dataclasses.replace(TINY, merge_factor=0.0)
+
+
+def test_trajectory_capture_merges_too():
+    """--traj style capture (record_trajectory) applies the same
+    substep-then-merge loop; the final state matches plain update."""
+    from nbody_tpu.trajectory import record_trajectory
+
+    a = _dense_cluster(MERGE)
+    b = _dense_cluster(MERGE)
+    traj = record_trajectory(a, 1e-3, frames=8, steps_per_frame=5,
+                             backend="jnp")
+    b.update(1e-3, 40, backend="jnp")
+    assert traj.shape[0] == 8
+    np.testing.assert_allclose(np.asarray(a.particles.mass),
+                               np.asarray(b.particles.mass), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.particles.pos),
+                               np.asarray(b.particles.pos), atol=1e-5)
+    assert (np.asarray(a.particles.mass) > 0).sum() < 64
+
+
+def test_cli_merge_flag(tmp_path):
+    from nbody_tpu.app import main
+    from nbody_tpu.utils.checkpoint import load_world
+
+    state = str(tmp_path / "m.npz")
+    main(["run", "--n", "250", "--galaxies", "1", "--steps", "3",
+          "--merge", "--save", state])
+    w, _ = load_world(state)
+    assert w.config.merge_collisions and w.config.merge_factor == 1.0
+    # resume inherits the merging config without re-passing the flag
+    s2 = str(tmp_path / "m2.npz")
+    main(["run", "--state", state, "--steps", "1", "--save", s2])
+    w2, _ = load_world(s2)
+    assert w2.config.merge_collisions
+
+
+def test_sharded_rejects_merging():
+    from nbody_tpu.parallel import ShardedWorld, make_mesh
+
+    scene = nb.make_galaxies(250, 1, seed=5)
+    with pytest.raises(ValueError, match="single-chip only"):
+        ShardedWorld(scene, make_mesh(4), config=MERGE)
