@@ -59,6 +59,13 @@ def test_sharded(monkeypatch):
     assert np.isfinite(np.asarray(sw.particles.pos)).all()
 
 
+def test_accretion(monkeypatch):
+    g = _run("accretion.py", [64, 300], monkeypatch)
+    p = g["world"].particles
+    assert int((np.asarray(p.mass) > 0).sum()) < 64   # mergers happened
+    assert np.isfinite(np.asarray(p.pos)).all()
+
+
 def test_multihost_pod(monkeypatch):
     # single-process degenerate mode (the real 2-process path runs in
     # test_multihost.py); gather_particles must equal the local gather here
