@@ -47,11 +47,23 @@ def merge_pass(pos, vel, radius, mass, gm, *, factor: float, g: float,
     substep's merges applied; rows past the source length are untouched.
     """
     m = gm.shape[0]
-    live = gm > 0.0                      # live massive bodies (sources)
-    mass_m = mass[:m]
-    pos_m = pos[:m]
-    rad_m = radius[:m]
-    idx = jnp.arange(m)
+    # Pad the working set to a chunk multiple so the tile pass is always
+    # O(chunk * M) memory (the old fallback `chunk = m` materialized an
+    # (M, M, 2) distance cube for any M not divisible by chunk). Padded
+    # rows have gm = 0 -> never live, never contact, scatter to themselves.
+    chunk = min(chunk, m)
+    pad = -m % chunk
+    mp = m + pad
+
+    def padded(a, fill=0.0):
+        width = ((0, pad),) + ((0, 0),) * (a.ndim - 1)
+        return jnp.pad(a[:m], width, constant_values=fill)
+
+    live = padded(gm) > 0.0              # live massive bodies (sources)
+    mass_m = padded(mass)
+    pos_m = padded(pos)
+    rad_m = padded(radius)
+    idx = jnp.arange(mp)
 
     # Absorption priority: heavier wins; equal masses -> lower index wins.
     # Encoded as a strict-ordering key so "j beats i" is antisymmetric.
@@ -60,12 +72,9 @@ def merge_pass(pos, vel, radius, mass, gm, *, factor: float, g: float,
 
     # Chunked pass over targets: for each live body i, find the heaviest
     # live body j in contact that beats i (None -> i survives).
-    if m % chunk != 0:
-        chunk = m  # tiny worlds: single tile
-
     def one_tile(tile):
         tpos, trad, tmass, tidx, tlive = tile
-        d = tpos[:, None, :] - pos_m[None, :, :]          # (c, m, 2)
+        d = tpos[:, None, :] - pos_m[None, :, :]          # (c, mp, 2)
         d2 = (d * d).sum(-1)
         reach = factor * (trad[:, None] + rad_m[None, :])
         contact = (d2 < reach * reach) & tlive[:, None] & live[None, :] \
@@ -78,22 +87,22 @@ def merge_pass(pos, vel, radius, mass, gm, *, factor: float, g: float,
         best = key.max(axis=1)
         # among max-mass candidates pick the lowest index
         at_best = contact & (key == best[:, None])
-        win = jnp.where(at_best, idx[None, :], m).min(axis=1)
+        win = jnp.where(at_best, idx[None, :], mp).min(axis=1)
         return best > -jnp.inf, win
 
     tiles = (pos_m.reshape(-1, chunk, 2), rad_m.reshape(-1, chunk),
              mass_m.reshape(-1, chunk), idx.reshape(-1, chunk),
              live.reshape(-1, chunk))
     is_loser, winner = jax.lax.map(one_tile, tiles)
-    is_loser = is_loser.reshape(m)
-    winner = winner.reshape(m)
+    is_loser = is_loser.reshape(mp)
+    winner = winner.reshape(mp)
 
     # a loser merges only into a non-loser (defers chains one substep)
-    ok = is_loser & ~is_loser[jnp.where(winner < m, winner, 0)]
+    ok = is_loser & ~is_loser[jnp.where(winner < mp, winner, 0)]
     w = jnp.where(ok, winner, idx)       # self-scatter = no-op rows
 
     dm = jnp.where(ok, mass_m, 0.0)
-    vel_m = vel[:m]
+    vel_m = padded(vel)
     new_mass = mass_m.at[w].add(dm)
     # momentum- and center-of-mass-conserving combine
     mom = mass_m[:, None] * vel_m
@@ -105,7 +114,7 @@ def merge_pass(pos, vel, radius, mass, gm, *, factor: float, g: float,
 
     absorbed_into = jnp.where(ok, w, idx)
     # winners that absorbed someone (counted, not inferred from fp sums)
-    grew = jnp.zeros(m, jnp.int32).at[w].add(ok.astype(jnp.int32)) > 0
+    grew = jnp.zeros(mp, jnp.int32).at[w].add(ok.astype(jnp.int32)) > 0
     safe = jnp.maximum(new_mass, 1e-30)[:, None]
     pos_w = jnp.where(grew[:, None], new_mx / safe, pos_m)
     vel_w = jnp.where(grew[:, None], new_mom / safe, vel_m)
@@ -117,7 +126,8 @@ def merge_pass(pos, vel, radius, mass, gm, *, factor: float, g: float,
     out_pos = jnp.where(ok[:, None], pos_w[absorbed_into], pos_w)
     out_vel = jnp.where(ok[:, None], vel_w[absorbed_into], vel_w)
     out_rad = jnp.where(ok, TRACER_RADIUS, rad_w)
-    out_gm = jnp.where(live, g * out_mass, gm)  # absorbed: 0 — row goes inert
+    out_gm = jnp.where(live[:m], g * out_mass[:m], gm)  # absorbed rows: 0
 
-    return (pos.at[:m].set(out_pos), vel.at[:m].set(out_vel),
-            radius.at[:m].set(out_rad), mass.at[:m].set(out_mass), out_gm)
+    return (pos.at[:m].set(out_pos[:m]), vel.at[:m].set(out_vel[:m]),
+            radius.at[:m].set(out_rad[:m]), mass.at[:m].set(out_mass[:m]),
+            out_gm)

@@ -48,24 +48,12 @@ def record_states(
     )
 
     if config.merge_collisions:
-        # same substep-then-merge loop as world.update_state_merging, with
-        # gm carried through the capture scan
-        if backend == "p3m":
-            raise ValueError(
-                "merge_collisions is not supported with backend='p3m' "
-                "(frozen cell blocks); use 'jnp', 'pallas', or 'pm'")
-        from .ops.collisions import merge_pass
+        # the substep-then-merge body is shared with update_state_merging
+        # (ONE definition; the update and capture paths cannot drift)
+        from .world import merging_substep_fn
 
-        def sub(carry):
-            st, gm = carry
-            st = _step(st, gm, valid, dt, src_len=src_len, config=config,
-                       backend=backend, interpret=None)
-            pos, vel, radius, mass, gm_src = merge_pass(
-                st.pos, st.vel, st.radius, st.mass, gm[:src_len],
-                factor=config.merge_factor, g=config.g,
-                chunk=min(512, src_len))
-            return Particles(pos=pos, vel=vel, acc=st.acc, mass=mass,
-                             radius=radius), gm.at[:src_len].set(gm_src)
+        sub = merging_substep_fn(valid, dt, src_len=src_len, config=config,
+                                 backend=backend)
 
         def frame_body(carry, _):
             carry = jax.lax.fori_loop(
@@ -120,7 +108,8 @@ def record_trajectory(
     from .world import effective_src_len, resolve_backend
 
     backend = resolve_backend(backend or world.default_backend,
-                              world.total_len, world.mass_len)
+                              world.total_len, world.mass_len,
+                              merging=world.config.merge_collisions)
 
     state, gm, traj = record_states(
         world.state, world.gm, world.valid, jnp.float32(dt),

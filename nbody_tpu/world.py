@@ -81,12 +81,18 @@ AUTO_P3M_MIN_PAIRS = 16_000_000_000
 
 
 def resolve_backend(backend: "Backend", total_len: int,
-                    mass_len: int) -> "Backend":
+                    mass_len: int, *, merging: bool = False) -> "Backend":
     """Resolve ``"auto"`` to the faster backend of equivalent accuracy at
-    this problem size; every concrete backend passes through unchanged."""
+    this problem size; every concrete backend passes through unchanged.
+    Under ``merging`` (SimConfig.merge_collisions) the above-crossover
+    choice is ``pm`` instead of ``p3m`` — p3m's frozen cell blocks cannot
+    carry mid-loop mass changes, and pm is the merge-capable backend that
+    still scales past the direct-sum crossover."""
     if backend != "auto":
         return backend
-    return "jnp" if total_len * mass_len <= AUTO_P3M_MIN_PAIRS else "p3m"
+    if total_len * mass_len <= AUTO_P3M_MIN_PAIRS:
+        return "jnp"
+    return "pm" if merging else "p3m"
 
 
 def source_pad_len(mass_len: int, tile_sources: int) -> int:
@@ -406,6 +412,18 @@ def update_state_merging(
 
     p3m is rejected here (its frozen gm-derived cell blocks would go stale
     mid-loop); jnp / pallas / pm read ``gm`` fresh each substep."""
+    sub = merging_substep_fn(valid, dt, src_len=src_len, config=config,
+                             backend=backend, interpret=interpret,
+                             extra_force=extra_force)
+    return jax.lax.fori_loop(0, n, lambda _, c: sub(c), (state, gm))
+
+
+def merging_substep_fn(valid, dt, *, src_len: int, config: SimConfig,
+                       backend: Backend, interpret=None, extra_force=None):
+    """The substep-then-merge body shared by :func:`update_state_merging`
+    and trajectory capture (``trajectory.record_states``) — ONE definition
+    so the update and --traj paths cannot drift. Returns a function
+    ``(state, gm) -> (state, gm)``."""
     from .ops.collisions import merge_pass
 
     if backend == "p3m":
@@ -413,7 +431,7 @@ def update_state_merging(
             "merge_collisions is not supported with backend='p3m' (frozen "
             "cell blocks); use 'jnp', 'pallas', or 'pm'")
 
-    def body(_, carry):
+    def sub(carry):
         st, gm = carry
         st = _step(st, gm, valid, dt, src_len=src_len, config=config,
                    backend=backend, interpret=interpret,
@@ -427,7 +445,7 @@ def update_state_merging(
         return Particles(pos=pos, vel=vel, acc=st.acc, mass=mass,
                          radius=radius), gm.at[:src_len].set(gm_src)
 
-    return jax.lax.fori_loop(0, n, body, (state, gm))
+    return sub
 
 
 class World:
@@ -483,7 +501,7 @@ class World:
         if default_backend is None:
             default_backend = default_backend_for(n)
         self.default_backend: Backend = resolve_backend(
-            default_backend, n, mass_len)
+            default_backend, n, mass_len, merging=config.merge_collisions)
         self._host_cache: Particles | None = None
 
     # -- update ---------------------------------------------------------
@@ -496,7 +514,8 @@ class World:
         if n <= 0:
             return self
         backend = resolve_backend(backend or self.default_backend,
-                                  self.total_len, self.mass_len)
+                                  self.total_len, self.mass_len,
+                                  merging=self.config.merge_collisions)
         kwargs = dict(
             src_len=effective_src_len(backend, self.src_len, self.mass_len),
             config=self.config, backend=backend, extra_force=extra_force,

@@ -192,3 +192,51 @@ def test_sharded_rejects_merging():
     scene = nb.make_galaxies(250, 1, seed=5)
     with pytest.raises(ValueError, match="single-chip only"):
         ShardedWorld(scene, make_mesh(4), config=MERGE)
+
+
+def test_multi_tile_chunked_merge_pass():
+    """M=1100 massive bodies (not a multiple of the 512 chunk): the padded
+    multi-tile path must find cross-tile contacts and conserve exactly.
+    Guards the lax.map tiling and the chunk padding (the unpadded fallback
+    used to materialize an (M, M, 2) cube for any M % 512 != 0)."""
+    cfg = dataclasses.replace(MERGE, g=1e-12)
+    rng = np.random.default_rng(7)
+    n = 1100
+    w = _world(rng.uniform(-14, 14, (n, 2)),      # dense: many overlaps
+               mass=rng.uniform(0.5, 2.0, n),
+               radius=np.full(n, 0.4),
+               vel=rng.normal(0, 0.2, (n, 2)),
+               config=cfg)
+    m0 = float(np.asarray(w.particles.mass).sum())
+    p0 = (np.asarray(w.particles.mass)[:, None]
+          * np.asarray(w.particles.vel)).sum(0)
+    w.update(0.02, 10, backend="jnp")
+    p = w.particles
+    merged = n - int((p.mass > 0).sum())
+    assert merged > 20                            # plenty of real merges
+    assert float(p.mass.sum()) == pytest.approx(m0, rel=1e-6)
+    np.testing.assert_allclose((p.mass[:, None] * p.vel).sum(0), p0,
+                               atol=2e-4)
+    # explicit cross-tile pair: indices 100 (tile 0) and 700 (tile 1)
+    from nbody_tpu.ops.collisions import merge_pass
+    import jax.numpy as jnp
+    pos = np.zeros((1100, 2), np.float32)
+    pos[:, 0] = np.arange(1100) * 100.0           # all isolated...
+    pos[700] = pos[100] + 0.1                     # ...except this pair
+    mass = np.ones(1100, np.float32); mass[700] = 2.0
+    rad = np.full(1100, 0.4, np.float32)
+    out = merge_pass(jnp.asarray(pos), jnp.zeros((1100, 2)),
+                     jnp.asarray(rad), jnp.asarray(mass),
+                     10.0 * jnp.asarray(mass), factor=1.0, g=10.0,
+                     chunk=512)
+    om = np.asarray(out[3])
+    assert om[700] == pytest.approx(3.0) and om[100] == 0.0
+
+
+def test_auto_resolution_is_merge_aware():
+    from nbody_tpu.world import AUTO_P3M_MIN_PAIRS, resolve_backend
+
+    big = int(np.sqrt(AUTO_P3M_MIN_PAIRS)) * 2
+    assert resolve_backend("auto", big, big) == "p3m"
+    assert resolve_backend("auto", big, big, merging=True) == "pm"
+    assert resolve_backend("auto", 1000, 500, merging=True) == "jnp"
