@@ -52,12 +52,12 @@ def record_states(
         # (ONE definition; the update and capture paths cannot drift)
         from .world import merging_substep_fn
 
-        sub = merging_substep_fn(valid, dt, src_len=src_len, config=config,
+        sub = merging_substep_fn(valid, src_len=src_len, config=config,
                                  backend=backend)
 
         def frame_body(carry, _):
             carry = jax.lax.fori_loop(
-                0, steps_per_frame, lambda _, c: sub(c), carry)
+                0, steps_per_frame, lambda _, c: sub(c, dt), carry)
             return carry, carry[0].pos
 
         (st, gm), traj = jax.lax.scan(frame_body, (state, gm), None,

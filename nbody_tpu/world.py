@@ -412,18 +412,19 @@ def update_state_merging(
 
     p3m is rejected here (its frozen gm-derived cell blocks would go stale
     mid-loop); jnp / pallas / pm read ``gm`` fresh each substep."""
-    sub = merging_substep_fn(valid, dt, src_len=src_len, config=config,
+    sub = merging_substep_fn(valid, src_len=src_len, config=config,
                              backend=backend, interpret=interpret,
                              extra_force=extra_force)
-    return jax.lax.fori_loop(0, n, lambda _, c: sub(c), (state, gm))
+    return jax.lax.fori_loop(0, n, lambda _, c: sub(c, dt), (state, gm))
 
 
-def merging_substep_fn(valid, dt, *, src_len: int, config: SimConfig,
+def merging_substep_fn(valid, *, src_len: int, config: SimConfig,
                        backend: Backend, interpret=None, extra_force=None):
-    """The substep-then-merge body shared by :func:`update_state_merging`
-    and trajectory capture (``trajectory.record_states``) — ONE definition
-    so the update and --traj paths cannot drift. Returns a function
-    ``(state, gm) -> (state, gm)``."""
+    """The substep-then-merge body shared by :func:`update_state_merging`,
+    :func:`update_state_adaptive`, and trajectory capture
+    (``trajectory.record_states``) — ONE definition so the update and
+    --traj paths cannot drift. Returns ``((state, gm), dt) -> (state, gm)``
+    (dt per call, so adaptive stepping can vary it)."""
     from .ops.collisions import merge_pass
 
     if backend == "p3m":
@@ -431,7 +432,7 @@ def merging_substep_fn(valid, dt, *, src_len: int, config: SimConfig,
             "merge_collisions is not supported with backend='p3m' (frozen "
             "cell blocks); use 'jnp', 'pallas', or 'pm'")
 
-    def sub(carry):
+    def sub(carry, dt):
         st, gm = carry
         st = _step(st, gm, valid, dt, src_len=src_len, config=config,
                    backend=backend, interpret=interpret,
@@ -446,6 +447,81 @@ def merging_substep_fn(valid, dt, *, src_len: int, config: SimConfig,
                          radius=radius), gm.at[:src_len].set(gm_src)
 
     return sub
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("src_len", "config", "backend", "interpret",
+                     "extra_force"),
+    donate_argnums=(0, 1),
+)
+def update_state_adaptive(
+    state: Particles,
+    gm: jax.Array,
+    valid: jax.Array,
+    t_span: jax.Array,
+    *,
+    eta: jax.Array,
+    dt_min: jax.Array,
+    dt_max: jax.Array,
+    src_len: int,
+    config: SimConfig,
+    backend: Backend,
+    interpret: bool | None = None,
+    extra_force=None,
+) -> tuple[Particles, jax.Array, jax.Array]:
+    """Integrate for a fixed PHYSICAL time span with a per-substep global
+    adaptive dt — the dynamic counterpart of the CLI's static ``--dt auto``.
+
+    Each substep re-evaluates the softening-resolution criterion on the
+    freshly stored accelerations (``eta · min_i sqrt(eps_i/|a_i|)``, the
+    same rule as :func:`diagnostics.suggest_dt`), clamps to
+    ``[dt_min, dt_max]``, and shrinks the final substep to land exactly on
+    ``t_span``. A priming zero-dt substep populates ``acc`` first (nothing
+    moves), so the first real dt is already acceleration-aware. All of
+    eta/dt_min/dt_max/t_span are traced — retuning never recompiles.
+    Returns (state, gm, n_substeps); `gm` only changes under
+    ``merge_collisions`` (adaptive composes with merging — close
+    encounters are exactly where both engage).
+
+    ``lax.while_loop`` is forward-only: use :func:`autodiff.rollout` (fixed
+    dt) when gradients are needed.
+    """
+    if config.merge_collisions:
+        sub = merging_substep_fn(valid, src_len=src_len, config=config,
+                                 backend=backend, interpret=interpret,
+                                 extra_force=extra_force)
+    else:
+        def sub(carry, dt):
+            st, gm = carry
+            return _step(st, gm, valid, dt, src_len=src_len, config=config,
+                         backend=backend, interpret=interpret,
+                         extra_force=extra_force), gm
+
+    # prime acc (dt = 0: v and x unchanged, acc stored)
+    state, gm = sub((state, gm), jnp.float32(0.0))
+
+    def crit(st):
+        a = jnp.sqrt(jnp.sum(st.acc**2, axis=1))
+        t = jnp.where(a > 0, jnp.sqrt(jnp.sqrt(st.radius)
+                                      / jnp.maximum(a, 1e-30)), jnp.inf)
+        return eta * jnp.min(t)
+
+    def cond(carry):
+        _, _, t, _ = carry
+        return t < t_span
+
+    def body(carry):
+        st, gm, t, k = carry
+        # dt_min floored away from 0 so the loop always terminates
+        dt = jnp.clip(crit(st), jnp.maximum(dt_min, 1e-9), dt_max)
+        dt = jnp.minimum(dt, t_span - t)
+        st, gm = sub((st, gm), dt)
+        return st, gm, t + dt, k + 1
+
+    state, gm, _, k = jax.lax.while_loop(
+        cond, body, (state, gm, jnp.float32(0.0), jnp.int32(0)))
+    return state, gm, k
 
 
 class World:
@@ -529,6 +605,27 @@ class World:
             self.state = update_state(*args, **kwargs)
         self._host_cache = None
         return self
+
+    def update_adaptive(self, t_span: float, *, eta: float = 0.1,
+                        dt_min: float = 1e-5, dt_max: float = 1.0,
+                        backend: Backend | None = None,
+                        extra_force=None) -> int:
+        """Integrate for ``t_span`` physical time units with per-substep
+        adaptive dt (see :func:`update_state_adaptive`). Returns the number
+        of substeps taken. Composes with ``merge_collisions`` and
+        ``extra_force``; forward-only (lax.while_loop)."""
+        backend = resolve_backend(backend or self.default_backend,
+                                  self.total_len, self.mass_len,
+                                  merging=self.config.merge_collisions)
+        self.state, self.gm, k = update_state_adaptive(
+            self.state, self.gm, self.valid, jnp.float32(t_span),
+            eta=jnp.float32(eta), dt_min=jnp.float32(dt_min),
+            dt_max=jnp.float32(dt_max),
+            src_len=effective_src_len(backend, self.src_len, self.mass_len),
+            config=self.config, backend=backend, extra_force=extra_force,
+        )
+        self._host_cache = None
+        return int(jax.device_get(k))
 
     # Reference API names (nbody.h:69-73): "CPU" = vectorized jnp oracle,
     # "GPU" = the Pallas device kernel.
