@@ -24,12 +24,24 @@ from . import forces, integrators
 from .types import G, Particles
 
 
+
+
+def _with_extra(force, vel, extra_force, params):
+    """Compose the gravity closure with the user hook for one substep
+    (vel = substep-entry velocity, like world._step)."""
+    if extra_force is None:
+        return force
+    if params is None:
+        return lambda p: force(p) + extra_force(p, vel)
+    return lambda p: force(p) + extra_force(p, vel, params)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_steps", "mass_len", "precise", "remat", "g", "backend",
                      "pm_grid", "p3m_rc_cells", "p3m_cell_capacity",
                      "p3m_exact_targets", "p3m_rebin_interval",
-                     "p3m_pp_chunk", "integrator"),
+                     "p3m_pp_chunk", "integrator", "extra_force"),
 )
 def rollout(
     pos: jax.Array,
@@ -52,6 +64,8 @@ def rollout(
     p3m_rebin_interval: int = 1,
     p3m_pp_chunk: int = 0,
     integrator: str = "euler",
+    extra_force=None,
+    extra_force_params=None,
 ):
     """Differentiable n_steps-substep rollout. Inputs must be in
     massive-first order (sources = rows [0, mass_len)). Returns final
@@ -74,7 +88,19 @@ def rollout(
 
     backend="pallas" runs the forward force through the Pallas kernel with a
     custom VJP (backward = adjoint of the identical jnp math); inputs are
-    padded internally to the kernel's tile alignment."""
+    padded internally to the kernel's tile alignment.
+
+    ``extra_force`` is the differentiable counterpart of
+    ``World.update(extra_force=...)``: a user acceleration field added on
+    top of self-gravity, called as ``extra_force(pos, vel)`` — or
+    ``extra_force(pos, vel, extra_force_params)`` when
+    ``extra_force_params`` (an arbitrary traced pytree) is given. The
+    params form is how gradients reach CONTROL variables (thrust
+    schedules, field strengths): the hook function itself is jit-static,
+    so closing it over a traced array would leak a tracer — pass such
+    values through ``extra_force_params`` instead, and ``jax.grad`` flows
+    into them like any other argument. ``vel`` is the substep-entry
+    velocity (matching the primal path)."""
     n = pos.shape[0]
     gm_full = g * mass
 
@@ -142,6 +168,7 @@ def rollout(
                     rc_cells=p3m_rc_cells, cell_capacity=p3m_cell_capacity,
                     precise=precise, pp_chunk=p3m_pp_chunk or None)
 
+            f = _with_extra(f, v, extra_force, extra_force_params)
             p, v, _ = integrators.advance(integrator, f, p, v, dt)
             return p, v
 
@@ -170,7 +197,8 @@ def rollout(
 
     def step(carry, _):
         p, v = carry
-        p, v, _ = integrators.advance(integrator, force, p, v, dt)
+        f = _with_extra(force, v, extra_force, extra_force_params)
+        p, v, _ = integrators.advance(integrator, f, p, v, dt)
         return (p, v), None
 
     if remat:

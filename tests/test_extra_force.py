@@ -113,3 +113,48 @@ def test_leapfrog_with_position_hook():
     x, v = np.asarray(w.particles.pos)[0], np.asarray(w.particles.vel)[0]
     e = 0.5 * float(v @ v) + 2.0 * float(x @ x)
     assert e == pytest.approx(e0, rel=2e-3)  # symplectic: bounded, no drift
+
+
+def test_rollout_hook_matches_world():
+    """autodiff.rollout(extra_force=...) is the differentiable counterpart
+    of World.update(extra_force=...): identical primal trajectories."""
+    from nbody_tpu.autodiff import rollout
+
+    scene = nb.make_galaxies(250, 1, seed=3)
+    w = nb.create_world(scene, config=TINY)
+    w.update(DT, 5, backend="jnp", extra_force=_uniform_field)
+
+    st = w  # rollout wants massive-first raw arrays; the world state is
+    p0 = nb.create_world(scene, config=TINY).state
+    pos, vel = rollout(
+        p0.pos[:250], p0.vel[:250], p0.mass[:250], p0.radius[:250],
+        jnp.float32(DT), n_steps=5, mass_len=w.mass_len, precise=False,
+        extra_force=_uniform_field)
+    np.testing.assert_allclose(np.asarray(pos),
+                               np.asarray(st.particles.pos),
+                               rtol=2e-4, atol=2e-3)
+
+
+def test_rollout_grad_reaches_control_params():
+    """Gradients flow into extra_force_params — the control-optimization
+    path (thrust schedules etc.). Closed form: under semi-implicit Euler
+    with constant acceleration theta, d(x_n)/d(theta) = dt^2 * n(n+1)/2."""
+    import jax
+    from nbody_tpu.autodiff import rollout
+
+    p = make_particles(np.zeros((1, 2), np.float32))
+    n = 7
+
+    def thrust(pos, vel, theta):
+        return jnp.broadcast_to(theta, pos.shape)
+
+    def final_x(theta):
+        pos, _ = rollout(p.pos, p.vel, p.mass, p.radius, jnp.float32(DT),
+                         n_steps=n, mass_len=0, precise=False,
+                         extra_force=thrust, extra_force_params=theta)
+        return pos[0, 0]
+
+    g = jax.grad(final_x)(jnp.asarray([0.3, 0.0], jnp.float32))
+    expect = DT * DT * n * (n + 1) / 2
+    assert float(g[0]) == pytest.approx(expect, rel=1e-5)
+    assert float(g[1]) == 0.0
