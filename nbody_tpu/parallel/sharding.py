@@ -116,7 +116,8 @@ def _pm_force_shard(pos, radius, gm_row, valid, *, config: SimConfig):
 
 
 def _grid_device_loop(pos, vel, acc, radius, gm_row, valid, dt, n, *,
-                      config: SimConfig, force_backend: str, d: int):
+                      config: SimConfig, force_backend: str, d: int,
+                      extra_force=None):
     """Per-device body for the grid backends (pm / p3m): the WHOLE
     n-substep loop runs inside one ``shard_map`` call (collectives inside
     ``fori_loop`` are fine), which lets p3m carry its frozen collective
@@ -124,13 +125,21 @@ def _grid_device_loop(pos, vel, acc, radius, gm_row, valid, dt, n, *,
     hoisting the position-independent exact-core selection out of the
     loop. Integrators (Euler / position-Verlet / yoshida4 DKD stages,
     integrators.advance) run per device."""
+    def hooked(force, vel):
+        # user field composed per shard (the hook must be a pointwise
+        # function of (pos, vel): it sees LOCAL rows); vel = substep entry
+        if extra_force is None:
+            return force
+        return lambda p: force(p) + extra_force(p, vel) * valid
+
     if force_backend == "pm":
         def force(p):
             return _pm_force_shard(p, radius, gm_row, valid, config=config)
 
         def body(_, carry):
             pos, vel, acc = carry
-            return integrators.advance(config.integrator, force, pos, vel, dt)
+            return integrators.advance(config.integrator, hooked(force, vel),
+                                       pos, vel, dt)
 
         return jax.lax.fori_loop(0, n, body, (pos, vel, acc))
 
@@ -164,7 +173,8 @@ def _grid_device_loop(pos, vel, acc, radius, gm_row, valid, dt, n, *,
     def substep(bins, carry):
         pos, vel, acc = carry
         return integrators.advance(
-            config.integrator, lambda p: force(bins, p), pos, vel, dt)
+            config.integrator, hooked(lambda p: force(bins, p), vel),
+            pos, vel, dt)
 
     if k == 1:
         def body(_, carry):
@@ -344,6 +354,7 @@ class ShardedWorld:
             self.gm_src = jax.device_put(gm_full[:src_len], sh)
         self.valid = jax.device_put(valid, sh2)
         self._update_fn = self._build_update()
+        self._hooked_key = self._hooked_fn = None
         self._host_cache: Particles | None = None
 
     @classmethod
@@ -404,10 +415,19 @@ class ShardedWorld:
 
         self.gm_src, self.valid = synth(self.mass)
         self._update_fn = self._build_update()
+        self._hooked_key = self._hooked_fn = None
         self._host_cache = None
         return self
 
-    def _build_update(self):
+    def _build_update(self, extra_force=None, set_aux=True):
+        """Build the jitted n-substep update (and, when ``set_aux``, the
+        capture/record machinery). ``extra_force(pos, vel) -> acc`` is the
+        sharded form of the single-chip hook: a POINTWISE per-particle
+        field (it runs inside shard_map on local rows), composed with
+        self-gravity before the mask; the fused pallas_ring kernel cannot
+        take an external term, so a hooked world computes the ring force
+        through the per-hop kernel and integrates outside (same fallback
+        as the single-chip fused path)."""
         mesh = self.mesh
         d = self.n_devices
         config = self.config
@@ -423,7 +443,7 @@ class ShardedWorld:
             # p3m_rebin_interval path and the hoisted exact-core selection.
             loop = functools.partial(
                 _grid_device_loop, config=config,
-                force_backend=force_backend, d=d)
+                force_backend=force_backend, d=d, extra_force=extra_force)
             smapped_loop = jax.shard_map(
                 lambda pos, vel, acc, radius, gm_row, valid, dt, n: loop(
                     pos, vel, acc, radius, gm_row, valid, dt, n),
@@ -448,7 +468,8 @@ class ShardedWorld:
                 return jax.lax.scan(frame_body, (pos, vel, acc), None,
                                     length=frames)
 
-            self._record_fn = record_run
+            if set_aux:
+                self._record_fn = record_run
 
             @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
             def update(pos, vel, acc, radius, gm_src, valid, dt, n):
@@ -481,7 +502,9 @@ class ShardedWorld:
 
             force = functools.partial(
                 _ring_force_shard,
-                n_devices=d, config=config, force_backend=force_backend,
+                n_devices=d, config=config,
+                force_backend=("pallas" if force_backend == "pallas_ring"
+                               else force_backend),
             )
             smapped_force = jax.shard_map(
                 lambda pos, radius, gm_src, src_pos0, valid: force(
@@ -503,6 +526,21 @@ class ShardedWorld:
 
         def substep(pos, vel, acc, radius, gm_src, valid, dt):
             ws = integrators.stage_weights(config.integrator)
+            if extra_force is not None:
+                # hooked: ring force via smapped_force, user field composed
+                # and masked outside, integrate outside (entry vel to the
+                # hook at every stage — single-chip semantics)
+                v0 = vel
+                for w in (1.0,) if ws is None else ws:
+                    dtk = dt if w == 1.0 else w * dt
+                    pos_h = pos if ws is None else pos + (0.5 * dtk) * vel
+                    acc = smapped_force(pos_h, radius, gm_src,
+                                        gather_src(pos_h), valid)
+                    acc = acc + extra_force(pos_h, v0) * valid
+                    vel = vel + dtk * acc
+                    pos = (pos_h + dtk * vel if ws is None
+                           else pos_h + (0.5 * dtk) * vel)
+                return pos, vel, acc
             if ws is None:
                 # semi-implicit Euler, whole substep inside the shard_map
                 return smapped(pos, vel, radius, gm_src, gather_src(pos),
@@ -522,7 +560,8 @@ class ShardedWorld:
                     pos = pos_h + (0.5 * dtk) * vel
             return pos, vel, acc
 
-        self._substep = substep
+        if set_aux:
+            self._substep = substep
 
         @functools.partial(jax.jit, static_argnames=("frames", "steps"),
                            donate_argnums=(0, 1, 2))
@@ -539,9 +578,10 @@ class ShardedWorld:
             return jax.lax.scan(frame_body, (pos, vel, acc), None,
                                 length=frames)
 
-        # one jit cache per world instance (keyed on frames/steps), so
-        # repeated captures never retrace
-        self._record_fn = record_run
+        if set_aux:
+            # one jit cache per world instance (keyed on frames/steps), so
+            # repeated captures never retrace
+            self._record_fn = record_run
 
         @functools.partial(
             jax.jit, donate_argnums=(0, 1, 2),
@@ -573,10 +613,24 @@ class ShardedWorld:
         self._host_cache = None
         return np.asarray(traj[:, : self.total_len, :])
 
-    def update(self, dt: float, n: int = 1) -> "ShardedWorld":
+    def update(self, dt: float, n: int = 1,
+               extra_force=None) -> "ShardedWorld":
+        """n substeps. ``extra_force(pos, vel) -> acc`` composes a user
+        acceleration field with self-gravity, per shard (it must be a
+        pointwise per-particle function — it sees local rows). The hooked
+        update is built once per hook function and cached; define the hook
+        once and reuse the same object."""
         if n <= 0:
             return self
-        self.pos, self.vel, self.acc = self._update_fn(
+        if extra_force is None:
+            fn = self._update_fn
+        else:
+            if self._hooked_key is not extra_force:
+                self._hooked_fn = self._build_update(
+                    extra_force=extra_force, set_aux=False)
+                self._hooked_key = extra_force
+            fn = self._hooked_fn
+        self.pos, self.vel, self.acc = fn(
             self.pos, self.vel, self.acc, self.radius, self.gm_src, self.valid,
             jnp.float32(dt), jnp.int32(n),
         )

@@ -158,3 +158,32 @@ def test_rollout_grad_reaches_control_params():
     expect = DT * DT * n * (n + 1) / 2
     assert float(g[0]) == pytest.approx(expect, rel=1e-5)
     assert float(g[1]) == 0.0
+
+
+@pytest.mark.parametrize("force_backend", ["jnp", "pallas_ring", "pm", "p3m"])
+def test_sharded_hook_matches_single_chip(force_backend):
+    """ShardedWorld.update(extra_force=...) composes the field per shard;
+    the 8-device result must match the single-chip world under the same
+    hook (pallas_ring computes the hooked force through the per-hop
+    kernel — the fused kernel cannot take an external term)."""
+    from nbody_tpu.parallel import ShardedWorld, make_mesh
+
+    scene = nb.make_galaxies(256, 1, seed=9)
+    single = nb.create_world(scene, config=TINY)
+    single_backend = {"pallas_ring": "pallas"}.get(force_backend,
+                                                   force_backend)
+    single.update(DT, 4, backend=single_backend, extra_force=_uniform_field)
+
+    sw = ShardedWorld(scene, make_mesh(), config=TINY,
+                      force_backend=force_backend)
+    assert sw.n_devices == 8
+    sw.update(DT, 4, extra_force=_uniform_field)
+
+    ref = np.asarray(single.particles.pos)
+    got = np.asarray(sw.particles.pos)
+    scale = np.abs(ref).max()
+    tol = 3e-3 if force_backend in ("pm", "p3m") else 3e-5
+    np.testing.assert_allclose(got / scale, ref / scale, atol=tol)
+    # unhooked update still uses the prebuilt fused path afterwards
+    sw.update(DT, 1)
+    assert np.isfinite(np.asarray(sw.particles.pos)).all()
