@@ -59,6 +59,13 @@ def test_sharded(monkeypatch):
     assert np.isfinite(np.asarray(sw.particles.pos)).all()
 
 
+def test_thrust_control(monkeypatch):
+    g = _run("thrust_control.py", [30], monkeypatch)
+    # descent ran: objective finite and the schedule moved off zero
+    assert np.isfinite(float(g["l"]))
+    assert not np.allclose(np.asarray(g["schedule"]), 0.0)
+
+
 def test_accretion(monkeypatch):
     g = _run("accretion.py", [64, 300], monkeypatch)
     p = g["world"].particles
