@@ -47,13 +47,28 @@ def check_state(state: Particles, context: str = "") -> None:
 
 
 def validate_world_invariants(world) -> None:
-    """Structural invariants of a World (debug assertion bundle)."""
+    """Structural invariants of a World (debug assertion bundle).
+
+    Under ``SimConfig.merge_collisions`` the massive-first partition
+    weakens by design: absorbed bodies keep their row inside the prefix
+    with ``mass == 0`` (``mass_len`` is an upper bound, ops/collisions.py),
+    and ``gm`` must track ``g * mass`` through every merge."""
     host = world.particles
     m = np.asarray(host.mass)
     assert world.total_len == host.pos.shape[0]
-    assert np.all(m[: world.mass_len] > 0), "massive-first partition violated"
+    merging = getattr(world.config, "merge_collisions", False)
+    if merging:
+        assert np.all(m[: world.mass_len] >= 0), "negative mass in prefix"
+        gm = np.asarray(world.gm)
+        np.testing.assert_allclose(
+            gm[: world.mass_len],
+            world.config.g * m[: world.mass_len], rtol=1e-6,
+            err_msg="gm row diverged from g*mass through a merge")
+    else:
+        assert np.all(m[: world.mass_len] > 0), \
+            "massive-first partition violated"
+        gm = np.asarray(world.gm)
     assert np.all(m[world.mass_len:] <= 0), "massive-first partition violated"
-    gm = np.asarray(world.gm)
     assert np.all(gm[world.mass_len:] == 0), "gm mask leaks beyond mass_len"
     assert world.n_pad >= world.src_len >= world.mass_len
 

@@ -240,3 +240,19 @@ def test_auto_resolution_is_merge_aware():
     assert resolve_backend("auto", big, big) == "p3m"
     assert resolve_backend("auto", big, big, merging=True) == "pm"
     assert resolve_backend("auto", 1000, 500, merging=True) == "jnp"
+
+
+def test_invariant_validator_understands_merged_worlds():
+    """validate_world_invariants accepts the weakened partition (zero-mass
+    absorbed rows inside the prefix) for merging worlds, still rejects it
+    for plain ones."""
+    from nbody_tpu.utils.checks import validate_world_invariants
+
+    w = _world([[0.0, 0.0], [1.0, 0.0]], mass=[5.0, 3.0], radius=[0.7, 0.7])
+    w.update(DT, 1, backend="jnp")
+    assert float(w.particles.mass[1]) == 0.0      # merged: hole in prefix
+    validate_world_invariants(w)                  # must not raise
+
+    plain = _world([[0.0, 0.0], [50.0, 0.0]], mass=[5.0, 3.0],
+                   radius=[0.7, 0.7], config=TINY)
+    validate_world_invariants(plain)              # intact world still fine
