@@ -13,7 +13,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .types import G, Particles
+from .types import G, Particles, SOFTENING_FLOOR
 
 
 @jax.jit
@@ -47,7 +47,9 @@ def potential_energy(
 
     pad = (-n) % chunk
     pos = jnp.pad(state.pos, ((0, pad), (0, 0)))
-    rad = jnp.pad(state.radius, (0, pad), constant_values=1.0)
+    # + SOFTENING_FLOOR: a coincident distinct pair with radius-0 target
+    # would otherwise divide by exactly 0 (NaN guard, absorbed for real radii)
+    rad = jnp.pad(state.radius, (0, pad), constant_values=1.0) + SOFTENING_FLOOR
     mass = jnp.pad(state.mass, (0, pad))
     idx = jnp.pad(jnp.arange(n), (0, pad), constant_values=-1)
 

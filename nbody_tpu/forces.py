@@ -32,7 +32,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .types import DTYPE, G
+from .types import DTYPE, G, SOFTENING_FLOOR
 
 
 def pair_acc(
@@ -59,7 +59,10 @@ def pair_acc(
     dx = src_pos[None, :, 0] - tgt_pos[:, None, 0]
     dy = src_pos[None, :, 1] - tgt_pos[:, None, 1]
     dist_sq = dx * dx + dy * dy
-    r2 = dist_sq + tgt_radius[:, None]
+    # SOFTENING_FLOOR (types.py) is a (T,)-cost bias absorbed for any real
+    # radius; it keeps a zero-gm source coincident with a radius-0 target at
+    # exactly 0 instead of 0/0 -> NaN.
+    r2 = dist_sq + (tgt_radius + SOFTENING_FLOOR)[:, None]
     if precise:
         f = src_gm[None, :] / (jnp.sqrt(r2) * r2)
     else:

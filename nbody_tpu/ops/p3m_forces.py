@@ -54,7 +54,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..types import DTYPE
+from ..types import DTYPE, SOFTENING_FLOOR
 from .pm_forces import _bounds, _box, _cic_gather, _cic_scatter, _solve
 
 
@@ -199,7 +199,10 @@ def _pp_apply(tgt_pos, tgt_radius, src_blocks, order_t, cid_t, rank_t,
     N=1M (the §3 broadcast-materialization tax plus per-cell dynamic-slice
     overhead) and ships as a tested ablation only."""
     sx, sy, sgm = src_blocks
-    trows = jnp.concatenate([tgt_pos, tgt_radius[:, None]], axis=-1)
+    # + SOFTENING_FLOOR: keeps a zero-gm candidate coincident with a radius-0
+    # target at 0 instead of 0*inf -> NaN; absorbed for real radii (types.py).
+    trows = jnp.concatenate(
+        [tgt_pos, tgt_radius[:, None] + SOFTENING_FLOOR], axis=-1)
     if pack_t is not None:
         oidx_t, ok_t = pack_t
         t3 = _composite_pack(trows, oidx_t, ok_t,

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..types import DTYPE
+from ..types import DTYPE, SOFTENING_FLOOR
 
 
 def _pp_kernel(
@@ -210,6 +210,8 @@ def pp_blocks(tx, ty, tr, sx, sy, sg, rc, eps2, *,
     kernel (interpreter off-TPU); backward = adjoint of the identical jnp
     math, recomputed at backward time.
     """
+    # + SOFTENING_FLOOR: same NaN guard as the production PP path
+    # (p3m_forces._pp_apply); absorbed bitwise for real radii (types.py).
     return _make_pp_blocks(precise, interpret)(
-        tx, ty, tr, sx, sy, sg,
+        tx, ty, tr + SOFTENING_FLOOR, sx, sy, sg,
         jnp.asarray(rc, DTYPE), jnp.asarray(eps2, DTYPE))

@@ -50,7 +50,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..types import DTYPE
+from ..types import DTYPE, SOFTENING_FLOOR
 
 # fp32 tiling: sublane multiple 8, lane multiple 128.
 TARGET_ALIGN = 8
@@ -284,9 +284,11 @@ def fused_substep(
 
     Returns (new_pos, new_vel, acc), each (T, 2).
     """
+    # radius row is only read as the r2 softening term, so the NaN-guarding
+    # floor (types.SOFTENING_FLOOR) can be folded in at pack time for free.
     tgt = jnp.concatenate(
-        [jnp.transpose(pos), radius[None, :], jnp.transpose(vel),
-         jnp.transpose(valid)], axis=0)
+        [jnp.transpose(pos), radius[None, :] + SOFTENING_FLOOR,
+         jnp.transpose(vel), jnp.transpose(valid)], axis=0)
     acc, npos, nvel = _substep_call(
         dt, tgt, src,
         tile_targets=tile_targets, tile_sources=tile_sources,
@@ -323,7 +325,7 @@ def pallas_acc(
     """
     t = tgt_pos.shape[0]
     tgt = jnp.concatenate(
-        [jnp.transpose(tgt_pos), tgt_radius[None, :],
+        [jnp.transpose(tgt_pos), tgt_radius[None, :] + SOFTENING_FLOOR,
          jnp.zeros((3, t), DTYPE)], axis=0)
     src = jnp.concatenate(
         [jnp.transpose(src_pos), src_gm[None, :]], axis=0)

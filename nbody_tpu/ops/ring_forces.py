@@ -52,7 +52,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..types import DTYPE
+from ..types import DTYPE, SOFTENING_FLOOR
 
 
 def _make_kernel(axis: str | None, n_devices: int, n_i: int, n_j: int,
@@ -376,7 +376,9 @@ def ring_substep(
         interpret=interpret_param,
     )(
         jnp.asarray(dt, DTYPE).reshape(1, 1),
-        row(pos[:, 0]), row(pos[:, 1]), row(radius),
+        # + SOFTENING_FLOOR: NaN guard for zero-radius targets, absorbed
+        # bitwise for real radii (types.py)
+        row(pos[:, 0]), row(pos[:, 1]), row(radius + SOFTENING_FLOOR),
         row(vel[:, 0]), row(vel[:, 1]), row(valid[:, 0]),
         src,
     )

@@ -25,6 +25,16 @@ G = 10.0
 # Default fp32 dtype used for all physical state (reference is fp32 throughout).
 DTYPE = jnp.float32
 
+# Additive floor folded into the *target radius* wherever a backend forms the
+# softened r2 = dist_sq + radius. In fp32 the add is absorbed bitwise for any
+# radius > ~2e-11 (reference radii are >= 0.5, galaxy.c:205-209), so physics is
+# unchanged for real inputs; its only effect is turning the degenerate
+# 0/0 -> NaN of a zero-gm source coincident with a radius-0 target (e.g. the
+# source-alignment rows world.source_pad_len appends, or a hand-built
+# all-tracer world) into an exact 0. 1e-18 is far above the value whose ^1.5
+# would underflow fp32 (~1.25e-30), so gm / (sqrt(r2) * r2) stays well-defined.
+SOFTENING_FLOOR = 1e-18
+
 
 @partial(
     jax.tree_util.register_dataclass,

@@ -79,12 +79,13 @@ class CheckedWorld:
     def __init__(self, world):
         self._world = world
 
-    def update(self, dt, n=1, backend=None):
-        # ShardedWorld.update has no backend kwarg; only forward it when given
+    def update(self, dt, n=1, backend=None, **kwargs):
+        # ShardedWorld.update has no backend kwarg; only forward it when
+        # given. Other kwargs (extra_force, ...) pass straight through.
         if backend is None:
-            self._world.update(dt, n)
+            self._world.update(dt, n, **kwargs)
         else:
-            self._world.update(dt, n, backend=backend)
+            self._world.update(dt, n, backend=backend, **kwargs)
         check_state(self._world.state, context=f"after update(dt={dt}, n={n})")
         return self
 

@@ -33,9 +33,13 @@ if not os.environ.get("NBODY_TPU_TESTS"):
 # test module (round-2 VERDICT weak #5). Selected for cheapness (tiny N,
 # already-cached jit configs); the full suite remains the merge gate.
 SMOKE = {
+    "test_adaptive.py::test_force_free_world_takes_dt_max_steps",
     "test_app.py::test_bad_args_exit",
     "test_app.py::test_run_save_render",
     "test_autodiff.py::test_rollout_matches_world",
+    "test_collisions.py::test_two_body_merge_conserves_everything",
+    "test_extra_force.py::test_uniform_field_matches_euler_closed_form",
+    "test_multihost.py::test_single_process_equivalence",
     "test_bench.py::test_bench_world_returns_us",
     "test_checkpoint.py::test_particles_roundtrip",
     "test_checks.py::test_nan_detected",

@@ -65,10 +65,14 @@ def test_sharded_world_checkpoint_roundtrip(tmp_path):
     )
 
 
-def test_zero_radius_coincident_nan_matches_reference_semantics():
-    # two coincident massive particles with radius 0: force is 0/0 = NaN.
-    # The reference has the same behavior (SURVEY §5 quirk 4); we preserve it
-    # rather than silently clamping.
+def test_zero_radius_coincident_pairs_contribute_zero():
+    # Two coincident massive particles with radius 0. SURVEY §5 quirk 4's
+    # zero-contribution guarantee "relies on r² > 0 ... generated scenes
+    # guarantee radius >= 0.5" — outside that precondition the reference
+    # itself is undefined (0/0 -> NaN on its GPU path). types.SOFTENING_FLOOR
+    # enforces the precondition, so the quirk-4 guarantee (coincident pair ->
+    # exactly zero force, radv == 0) now holds for degenerate inputs too
+    # instead of poisoning the whole state with NaN.
     p = make_particles(
         np.zeros((2, 2), np.float32),
         mass=np.array([1.0, 1.0], np.float32),
@@ -76,7 +80,27 @@ def test_zero_radius_coincident_nan_matches_reference_semantics():
     )
     w = create_world(p, config=TINY)
     w.update(0.01, 1, backend="jnp")
-    assert np.isnan(np.asarray(w.particles.acc)).any()
+    np.testing.assert_array_equal(np.asarray(w.particles.acc), 0.0)
+
+
+def test_all_massless_zero_radius_world_drifts():
+    # Regression: source alignment (world.source_pad_len pads mass_len up,
+    # min 1) puts tracer rows in the source panel with gm = 0; before the
+    # SOFTENING_FLOOR fix the self-pair of such a row with radius 0 produced
+    # 0/0 = NaN. A hand-built all-tracer radius-0 world must be pure drift,
+    # exactly reversible by negating dt, on every backend.
+    rng = np.random.default_rng(5)
+    pos = rng.normal(size=(64, 2)).astype(np.float32)
+    vel = rng.normal(size=(64, 2)).astype(np.float32)
+    p = make_particles(pos, vel=vel, radius=np.zeros(64, np.float32))
+    for backend in ("jnp", "pallas", "pm", "p3m"):
+        w = create_world(p, config=TINY)
+        w.update(0.01, 5, backend=backend)
+        w.update(-0.01, 5, backend=backend)
+        got = np.asarray(w.particles.pos)
+        assert np.isfinite(got).all(), backend
+        np.testing.assert_allclose(got, pos, atol=2e-6, err_msg=backend)
+        np.testing.assert_array_equal(np.asarray(w.particles.acc), 0.0)
 
 
 def test_large_dt_stability_is_callers_problem():
