@@ -32,8 +32,10 @@ def _with_extra(force, vel, extra_force, params):
     if extra_force is None:
         return force
     if params is None:
-        return lambda p: force(p) + extra_force(p, vel)
-    return lambda p: force(p) + extra_force(p, vel, params)
+        return lambda p: force(p) + forces.checked_extra_acc(
+            extra_force, p, vel)
+    return lambda p: force(p) + forces.checked_extra_acc(
+        extra_force, p, vel, params)
 
 
 @functools.partial(
@@ -101,6 +103,10 @@ def rollout(
     values through ``extra_force_params`` instead, and ``jax.grad`` flows
     into them like any other argument. ``vel`` is the substep-entry
     velocity (matching the primal path)."""
+    if backend not in ("jnp", "pallas", "pm", "p3m"):
+        raise ValueError(
+            f"unknown rollout backend {backend!r}; "
+            "expected 'jnp', 'pallas', 'pm', or 'p3m'")
     n = pos.shape[0]
     gm_full = g * mass
 
@@ -333,6 +339,10 @@ def rollout_sharded(
     from .types import round_up
 
     n = pos.shape[0]
+    if backend not in ("jnp", "pm", "p3m"):
+        raise ValueError(
+            f"unknown sharded rollout backend {backend!r}; "
+            "expected 'jnp', 'pm', or 'p3m'")
     d = mesh.devices.size
     n_pad = round_up(n, 8 * d)
     if n_pad // d > chunk:

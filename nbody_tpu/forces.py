@@ -119,6 +119,22 @@ def acc_from_particles(
     return direct_sum_acc(pos, radius, src_pos, src_gm, chunk=chunk, precise=precise)
 
 
+def checked_extra_acc(extra_force, pos, vel, *params):
+    """Call a user ``extra_force(pos, vel, *params)`` hook and validate its
+    output at trace time.
+
+    Shapes are static under jit, so the check costs nothing at runtime; it
+    exists because ``acc + wrong_shape`` would otherwise broadcast silently
+    (e.g. a (N, 1) or scalar return corrupts physics without any error).
+    """
+    out = jnp.asarray(extra_force(pos, vel, *params), DTYPE)
+    if out.shape != pos.shape:
+        raise ValueError(
+            "extra_force must return accelerations with the same shape as "
+            f"pos {pos.shape}, got {out.shape}")
+    return out
+
+
 @jax.jit
 def integrate(pos, vel, acc, dt):
     """Semi-implicit (symplectic) Euler, velocity first (sim_cpu.c:192-193,

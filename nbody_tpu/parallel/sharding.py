@@ -130,7 +130,9 @@ def _grid_device_loop(pos, vel, acc, radius, gm_row, valid, dt, n, *,
         # function of (pos, vel): it sees LOCAL rows); vel = substep entry
         if extra_force is None:
             return force
-        return lambda p: force(p) + extra_force(p, vel) * valid
+        return lambda p: (force(p)
+                          + forces.checked_extra_acc(extra_force, p, vel)
+                          * valid)
 
     if force_backend == "pm":
         def force(p):
@@ -536,7 +538,8 @@ class ShardedWorld:
                     pos_h = pos if ws is None else pos + (0.5 * dtk) * vel
                     acc = smapped_force(pos_h, radius, gm_src,
                                         gather_src(pos_h), valid)
-                    acc = acc + extra_force(pos_h, v0) * valid
+                    acc = acc + forces.checked_extra_acc(
+                        extra_force, pos_h, v0) * valid
                     vel = vel + dtk * acc
                     pos = (pos_h + dtk * vel if ws is None
                            else pos_h + (0.5 * dtk) * vel)

@@ -227,7 +227,9 @@ class SimConfig:
             raise ValueError(
                 f"p3m_pp_chunk must be >= 0 (0 = off), got "
                 f"{self.p3m_pp_chunk}")
-        if (self.tile_targets % 8 or self.tile_sources % 128
+        if (self.tile_targets < 8 or self.tile_sources < 128
+                or self.kernel_tile_targets < 8
+                or self.tile_targets % 8 or self.tile_sources % 128
                 or self.kernel_tile_targets % 8):
             raise ValueError(
                 f"tile_targets/kernel_tile_targets must be multiples of 8 and "

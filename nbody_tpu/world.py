@@ -207,7 +207,7 @@ def _step(
                      backend=backend, interpret=interpret, valid=valid,
                      p3m_bins=p3m_bins)
         if extra_force is not None:
-            acc = acc + extra_force(p, state.vel)
+            acc = acc + forces.checked_extra_acc(extra_force, p, state.vel)
         return acc * valid
 
     pos, vel, acc = integrators.advance(

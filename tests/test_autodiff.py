@@ -297,3 +297,18 @@ def test_rollout_particles_wrapper():
     ref = np.asarray(w.particles.pos)
     s = np.abs(ref).max()
     np.testing.assert_allclose(np.asarray(out.pos) / s, ref / s, atol=1e-6)
+
+
+def test_unknown_backend_raises():
+    # the dispatch's `else:` branch is the jnp path; a typo must not fall
+    # through to it silently
+    pos, vel, mass, radius = sun_and_probe()
+    with pytest.raises(ValueError, match="unknown rollout backend"):
+        rollout(pos, vel, mass, radius, 0.01,
+                n_steps=1, mass_len=1, backend="cuda")
+    from nbody_tpu.autodiff import rollout_sharded
+    from nbody_tpu.parallel.sharding import make_mesh
+    with pytest.raises(ValueError, match="unknown sharded rollout backend"):
+        rollout_sharded(pos, vel, mass, radius, 0.01,
+                        n_steps=1, mass_len=1, mesh=make_mesh(),
+                        backend="pallas_ring")

@@ -187,3 +187,27 @@ def test_sharded_hook_matches_single_chip(force_backend):
     # unhooked update still uses the prebuilt fused path afterwards
     sw.update(DT, 1)
     assert np.isfinite(np.asarray(sw.particles.pos)).all()
+
+
+def test_wrong_shape_hook_raises():
+    # acc + hook_output would broadcast a (N, 1) or scalar return silently,
+    # corrupting physics with no error — the trace-time shape check in
+    # forces.checked_extra_acc must reject it on every entry path.
+    w = _tracer_world()
+    with pytest.raises(ValueError, match="extra_force must return"):
+        w.update(DT, extra_force=lambda p, v: p[:, :1])
+    with pytest.raises(ValueError, match="extra_force must return"):
+        w.update(DT, extra_force=lambda p, v: 5.0)
+    # sharded path
+    from nbody_tpu.parallel.sharding import ShardedWorld, make_mesh
+    sw = ShardedWorld(nb.make_galaxies(256, 1, seed=9), make_mesh(),
+                      config=TINY)
+    with pytest.raises(ValueError, match="extra_force must return"):
+        sw.update(DT, extra_force=lambda p, v: jnp.zeros(()))
+    # rollout path
+    from nbody_tpu import autodiff
+    p = nb.make_galaxies(200, 1, seed=1)
+    ml = int(np.count_nonzero(np.asarray(p.mass) > 0))
+    with pytest.raises(ValueError, match="extra_force must return"):
+        autodiff.rollout(p.pos, p.vel, p.mass, p.radius, DT, n_steps=1,
+                         mass_len=ml, extra_force=lambda p_, v_: v_[:, 0])

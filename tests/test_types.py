@@ -76,3 +76,10 @@ def test_sim_config_validation():
         SimConfig(tile_targets=7)
     with pytest.raises(ValueError, match="tile"):
         SimConfig(tile_sources=100)
+    # 0 satisfies the % alignment checks but would break the kernels
+    with pytest.raises(ValueError, match="tile"):
+        SimConfig(tile_sources=0)
+    with pytest.raises(ValueError, match="tile"):
+        SimConfig(tile_targets=0)
+    with pytest.raises(ValueError, match="tile"):
+        SimConfig(kernel_tile_targets=0)
