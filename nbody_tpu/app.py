@@ -118,6 +118,9 @@ def _make_world(args):
 
         pm_grid = suggest_grid(particles.pos.shape[0])
         print(f"pm_grid auto -> {pm_grid}", file=sys.stderr)
+    if args.merge is not None and getattr(args, "backend", None) == "p3m":
+        sys.exit("nbody_tpu: error: --merge is not supported with "
+                 "--backend p3m (frozen cell blocks); use jnp, pallas, or pm")
     if saved is not None:
         # resume reproduces the save-time physics: checkpoint config is the
         # base; only explicitly passed flags override it

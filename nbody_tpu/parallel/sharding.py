@@ -274,6 +274,10 @@ def _default_force_backend(force_backend, total_len, mass_len, d):
         from ..world import AUTO_P3M_MIN_PAIRS
         per_chip = (total_len * mass_len) // max(d, 1)
         return "jnp" if per_chip <= AUTO_P3M_MIN_PAIRS else "p3m"
+    if force_backend not in ("jnp", "pallas", "pallas_ring", "pm", "p3m"):
+        raise ValueError(
+            f"unknown force_backend {force_backend!r}; expected 'jnp', "
+            "'pallas', 'pallas_ring', 'pm', 'p3m', or 'auto'")
     return force_backend
 
 

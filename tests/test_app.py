@@ -64,6 +64,13 @@ def test_bad_args_exit():
         main(["run", "--bogus"])
 
 
+def test_merge_p3m_combination_rejected_cleanly():
+    # unsupported flag combo exits with a CLI error, not a JAX traceback
+    with pytest.raises(SystemExit, match="not supported"):
+        main(["run", "--n", "400", "--galaxies", "1", "--steps", "1",
+              "--merge", "--backend", "p3m"])
+
+
 def test_pm_grid_auto(tmp_path, capsys):
     """--pm-grid auto resolves through ops.pm_forces.suggest_grid (the
     measured ~sqrt(N) heuristic, clamped to [256, 4096])."""

@@ -76,3 +76,11 @@ def test_sharded_pallas_interpret_smoke():
     np.testing.assert_allclose(
         np.asarray(sw.particles.pos), np.asarray(w.particles.pos), rtol=3e-4, atol=3e-3
     )
+
+
+def test_unknown_force_backend_raises():
+    # a typo'd force_backend must not silently construct a world that the
+    # per-backend dispatch later routes to an arbitrary branch
+    p = random_particles(64, seed=32)
+    with pytest.raises(ValueError, match="unknown force_backend"):
+        ShardedWorld(p, make_mesh(2), config=TINY, force_backend="cuda")
