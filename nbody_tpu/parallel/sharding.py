@@ -262,6 +262,39 @@ def _ring_step_shard(
     return pos, vel, acc
 
 
+def _adaptive_while(one, pos, vel, acc, radius, t_span, eta, dt_min, dt_max):
+    """Sharded analogue of :func:`nbody_tpu.world.update_state_adaptive`'s
+    loop. ``one(pos, vel, acc, dt)`` performs a single substep on the global
+    (sharded) arrays; the softening-resolution criterion reduces over the
+    global acc/radius, so XLA inserts the cross-device min — every shard
+    agrees on each dt by construction. Padding rows are inert: their acc is
+    masked to zero by ``valid`` inside the force shards and zero acc maps to
+    an infinite per-row timescale."""
+    # prime acc (dt = 0: nothing moves, acc stored)
+    pos, vel, acc = one(pos, vel, acc, jnp.float32(0.0))
+
+    def crit(a_arr):
+        a = jnp.sqrt(jnp.sum(a_arr**2, axis=1))
+        t = jnp.where(a > 0, jnp.sqrt(jnp.sqrt(radius)
+                                      / jnp.maximum(a, 1e-30)), jnp.inf)
+        return eta * jnp.min(t)
+
+    def cond(carry):
+        return carry[3] < t_span
+
+    def body(carry):
+        pos, vel, acc, t, k = carry
+        # dt_min floored away from 0 so the loop always terminates
+        dt = jnp.clip(crit(acc), jnp.maximum(dt_min, 1e-9), dt_max)
+        dt = jnp.minimum(dt, t_span - t)
+        pos, vel, acc = one(pos, vel, acc, dt)
+        return pos, vel, acc, t + dt, k + 1
+
+    pos, vel, acc, _, k = jax.lax.while_loop(
+        cond, body, (pos, vel, acc, jnp.float32(0.0), jnp.int32(0)))
+    return pos, vel, acc, k
+
+
 def _default_force_backend(force_backend, total_len, mass_len, d):
     if force_backend is None:
         return "pallas" if jax.default_backend() == "tpu" else "jnp"
@@ -359,8 +392,8 @@ class ShardedWorld:
         else:
             self.gm_src = jax.device_put(gm_full[:src_len], sh)
         self.valid = jax.device_put(valid, sh2)
-        self._update_fn = self._build_update()
-        self._hooked_key = self._hooked_fn = None
+        self._update_fn, self._adaptive_fn = self._build_update()
+        self._hooked_key = self._hooked_fn = self._hooked_adaptive = None
         self._host_cache: Particles | None = None
 
     @classmethod
@@ -420,8 +453,8 @@ class ShardedWorld:
             return gm_row, valid
 
         self.gm_src, self.valid = synth(self.mass)
-        self._update_fn = self._build_update()
-        self._hooked_key = self._hooked_fn = None
+        self._update_fn, self._adaptive_fn = self._build_update()
+        self._hooked_key = self._hooked_fn = self._hooked_adaptive = None
         self._host_cache = None
         return self
 
@@ -482,7 +515,20 @@ class ShardedWorld:
                 return smapped_loop(pos, vel, acc, radius, gm_src, valid,
                                     dt, n)
 
-            return update
+            @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+            def adaptive(pos, vel, acc, radius, gm_src, valid,
+                         t_span, eta, dt_min, dt_max):
+                def one(p, v, a, dt):
+                    # one-substep collective loop per adaptive iteration
+                    # (p3m rebins each substep, matching the single-chip
+                    # adaptive path)
+                    return smapped_loop(p, v, a, radius, gm_src, valid,
+                                        dt, jnp.int32(1))
+
+                return _adaptive_while(one, pos, vel, acc, radius,
+                                       t_span, eta, dt_min, dt_max)
+
+            return update, adaptive
         else:
             if force_backend == "pallas_ring":
                 step = functools.partial(
@@ -599,7 +645,16 @@ class ShardedWorld:
 
             return jax.lax.fori_loop(0, n, body, (pos, vel, acc))
 
-        return update
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        def adaptive(pos, vel, acc, radius, gm_src, valid,
+                     t_span, eta, dt_min, dt_max):
+            def one(p, v, a, dt):
+                return substep(p, v, a, radius, gm_src, valid, dt)
+
+            return _adaptive_while(one, pos, vel, acc, radius,
+                                   t_span, eta, dt_min, dt_max)
+
+        return update, adaptive
 
     def record(self, dt: float, frames: int, steps_per_frame: int = 1):
         """On-device sharded trajectory capture: frames*steps_per_frame
@@ -633,7 +688,7 @@ class ShardedWorld:
             fn = self._update_fn
         else:
             if self._hooked_key is not extra_force:
-                self._hooked_fn = self._build_update(
+                self._hooked_fn, self._hooked_adaptive = self._build_update(
                     extra_force=extra_force, set_aux=False)
                 self._hooked_key = extra_force
             fn = self._hooked_fn
@@ -643,6 +698,31 @@ class ShardedWorld:
         )
         self._host_cache = None
         return self
+
+    def update_adaptive(self, t_span: float, *, eta: float = 0.1,
+                        dt_min: float = 1e-5, dt_max: float = 1.0,
+                        extra_force=None) -> int:
+        """Integrate ``t_span`` physical time units with per-substep global
+        adaptive dt — the sharded counterpart of
+        :meth:`nbody_tpu.world.World.update_adaptive`. The criterion's min
+        reduces over the global (sharded) accelerations, so every shard
+        steps with the same dt. All knobs are traced (retuning never
+        recompiles). Returns the number of substeps taken."""
+        if extra_force is None:
+            fn = self._adaptive_fn
+        else:
+            if self._hooked_key is not extra_force:
+                self._hooked_fn, self._hooked_adaptive = self._build_update(
+                    extra_force=extra_force, set_aux=False)
+                self._hooked_key = extra_force
+            fn = self._hooked_adaptive
+        self.pos, self.vel, self.acc, k = fn(
+            self.pos, self.vel, self.acc, self.radius, self.gm_src,
+            self.valid, jnp.float32(t_span), jnp.float32(eta),
+            jnp.float32(dt_min), jnp.float32(dt_max),
+        )
+        self._host_cache = None
+        return int(jax.device_get(k))
 
     @property
     def state(self) -> Particles:

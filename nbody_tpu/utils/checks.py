@@ -89,5 +89,12 @@ class CheckedWorld:
         check_state(self._world.state, context=f"after update(dt={dt}, n={n})")
         return self
 
+    def update_adaptive(self, t_span, **kwargs):
+        # World.update_adaptive / ShardedWorld.update_adaptive
+        n = self._world.update_adaptive(t_span, **kwargs)
+        check_state(self._world.state,
+                    context=f"after update_adaptive(t_span={t_span})")
+        return n
+
     def __getattr__(self, name):
         return getattr(self._world, name)

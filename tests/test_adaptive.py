@@ -90,3 +90,51 @@ def test_retuning_does_not_recompile():
     after_first = update_state_adaptive._cache_size()
     w.update_adaptive(0.05, eta=0.2, dt_min=1e-4, dt_max=0.5, backend="jnp")
     assert update_state_adaptive._cache_size() == after_first
+
+
+def test_sharded_adaptive_matches_single_chip():
+    # the global psum'd criterion must reproduce the single-chip dt
+    # sequence (the min over shards == the min over the world)
+    from nbody_tpu.parallel.sharding import ShardedWorld, make_mesh
+
+    scene = nb.make_galaxies(256, 1, seed=13)
+    w = nb.create_world(scene, config=TINY)
+    n_single = w.update_adaptive(0.05, dt_max=0.02)
+
+    sw = ShardedWorld(scene, make_mesh(4), config=TINY, force_backend="jnp")
+    n_sharded = sw.update_adaptive(0.05, dt_max=0.02)
+
+    assert abs(n_single - n_sharded) <= 1
+    ref = np.asarray(w.particles.pos)
+    got = np.asarray(sw.particles.pos)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got / scale, ref / scale, atol=1e-4)
+
+
+def test_sharded_adaptive_force_free_counts_exactly():
+    # all-massless: acc == 0 -> criterion inf -> every substep is dt_max;
+    # t_span/dt_max steps exactly, identical on any mesh size
+    from nbody_tpu.parallel.sharding import ShardedWorld, make_mesh
+
+    rng = np.random.default_rng(3)
+    p = make_particles(rng.normal(size=(64, 2)).astype(np.float32),
+                       vel=rng.normal(size=(64, 2)).astype(np.float32))
+    sw = ShardedWorld(p, make_mesh(8), config=TINY, force_backend="jnp")
+    assert sw.update_adaptive(0.1, dt_max=0.01) in (10, 11)  # fp t-accum
+    drift = np.asarray(sw.particles.pos) - np.asarray(p.pos)
+    np.testing.assert_allclose(drift, 0.1 * np.asarray(p.vel), atol=1e-6)
+
+
+def test_sharded_adaptive_with_hook_pm():
+    # adaptive + extra_force on the pm collective path
+    from nbody_tpu.parallel.sharding import ShardedWorld, make_mesh
+
+    from nbody_tpu.types import SimConfig
+
+    scene = nb.make_galaxies(256, 1, seed=17)
+    cfg = SimConfig(tile_targets=128, pm_grid=128)
+    sw = ShardedWorld(scene, make_mesh(4), config=cfg, force_backend="pm")
+    n = sw.update_adaptive(0.02, dt_max=0.01,
+                           extra_force=lambda p, v: -0.1 * v)
+    assert n >= 2
+    assert np.isfinite(np.asarray(sw.particles.pos)).all()

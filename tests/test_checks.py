@@ -1,5 +1,6 @@
 """NaN/divergence guard tests (validation-layer analogue, SURVEY.md §5)."""
 
+import jax.numpy as jnp
 import numpy as np
 from helpers import TINY
 import pytest
@@ -29,16 +30,19 @@ def test_nan_detected():
 
 
 def test_checked_world_catches_divergence():
-    # radius 0 + coincident massive particles -> 0/0 -> NaN (the documented
-    # corner the reference also dies on, SURVEY §5 quirk #4)
+    # a NaN entering the state through the real update path must trip the
+    # post-update validator (the coincident radius-0 corner that used to be
+    # the NaN source is now guarded by types.SOFTENING_FLOOR, so inject one
+    # via the user force hook instead)
     p = make_particles(
         np.zeros((2, 2), np.float32),
         mass=np.array([10.0, 10.0], np.float32),
-        radius=np.array([0.0, 0.0], np.float32),
+        radius=np.array([1.0, 1.0], np.float32),
     )
     cw = CheckedWorld(create_world(p, config=TINY))
     with pytest.raises(SimulationDiverged):
-        cw.update(0.01, 1, backend="jnp")
+        cw.update(0.01, 1, backend="jnp",
+                  extra_force=lambda pos, vel: jnp.full_like(pos, jnp.nan))
 
 
 def test_checked_world_passthrough():
@@ -46,3 +50,15 @@ def test_checked_world_passthrough():
     cw.update(0.01, 2, backend="jnp")
     assert cw.total_len == 200
     assert np.isfinite(np.asarray(cw.particles.pos)).all()
+
+
+def test_checked_world_adaptive_is_validated():
+    # update_adaptive runs under the same post-step validation as update
+    cw = CheckedWorld(create_world(make_galaxies(200, 1, seed=2), config=TINY))
+    n = cw.update_adaptive(0.05, dt_max=0.01)
+    assert n >= 5
+    assert np.isfinite(np.asarray(cw.particles.pos)).all()
+    with pytest.raises(SimulationDiverged):
+        cw.update_adaptive(
+            0.02, dt_max=0.01,
+            extra_force=lambda pos, vel: jnp.full_like(pos, jnp.nan))
