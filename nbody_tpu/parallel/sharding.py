@@ -295,22 +295,89 @@ def _adaptive_while(one, pos, vel, acc, radius, t_span, eta, dt_min, dt_max):
     return pos, vel, acc, k
 
 
-def _default_force_backend(force_backend, total_len, mass_len, d):
+def _build_merging_fns(mstep):
+    """Jitted (update, adaptive, record) triple for a merging world, built
+    from ``mstep(pos, vel, acc, radius, mass, gm, valid, dt)`` — the
+    substep-then-merge body. Unlike the non-merging fns, radius/mass/gm are
+    loop CARRIES (a merge rewrites them), mirroring
+    ``world.update_state_merging``. The merge pass itself runs at the jit
+    level on the global sharded arrays; GSPMD partitions the chunked O(M²)
+    contact pass and inserts the gathers it needs."""
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5))
+    def update(pos, vel, acc, radius, mass, gm, valid, dt, n):
+        def body(_, c):
+            return mstep(*c, valid, dt)
+
+        return jax.lax.fori_loop(0, n, body,
+                                 (pos, vel, acc, radius, mass, gm))
+
+    @functools.partial(jax.jit, static_argnames=("frames", "steps"),
+                       donate_argnums=(0, 1, 2, 3, 4, 5))
+    def record(pos, vel, acc, radius, mass, gm, valid, dt, *, frames, steps):
+        def frame_body(c, _):
+            c = jax.lax.fori_loop(
+                0, steps, lambda _, cc: mstep(*cc, valid, dt), c)
+            return c, c[0]
+
+        return jax.lax.scan(frame_body, (pos, vel, acc, radius, mass, gm),
+                            None, length=frames)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5))
+    def adaptive(pos, vel, acc, radius, mass, gm, valid,
+                 t_span, eta, dt_min, dt_max):
+        # prime acc (dt = 0; the merge in the priming substep also resolves
+        # bodies that already overlap at entry, like the single-chip path)
+        c = mstep(pos, vel, acc, radius, mass, gm, valid, jnp.float32(0.0))
+
+        def crit(c):
+            acc_, rad_ = c[2], c[3]
+            a = jnp.sqrt(jnp.sum(acc_**2, axis=1))
+            t = jnp.where(a > 0, jnp.sqrt(jnp.sqrt(rad_)
+                                          / jnp.maximum(a, 1e-30)), jnp.inf)
+            return eta * jnp.min(t)
+
+        def cond(carry):
+            return carry[1] < t_span
+
+        def body(carry):
+            c, t, k = carry
+            dt = jnp.clip(crit(c), jnp.maximum(dt_min, 1e-9), dt_max)
+            dt = jnp.minimum(dt, t_span - t)
+            return mstep(*c, valid, dt), t + dt, k + 1
+
+        c, _, k = jax.lax.while_loop(
+            cond, body, (c, jnp.float32(0.0), jnp.int32(0)))
+        return c + (k,)
+
+    return update, adaptive, record
+
+
+def _default_force_backend(force_backend, total_len, mass_len, d,
+                           merging=False):
     if force_backend is None:
-        return "pallas" if jax.default_backend() == "tpu" else "jnp"
-    if force_backend == "auto":
+        force_backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    elif force_backend == "auto":
         # Per-chip mux (world.resolve_backend is the single-chip form):
         # direct-sum pair work total*mass_len splits evenly over the ring,
         # while the grid backends' fixed mesh cost replicates per device —
         # so the measured single-chip crossover applies to the PER-CHIP
         # pair count, and a D-mesh switches to p3m D× later in N².
+        # A merging world picks pm above the crossover (p3m's frozen gm
+        # cell blocks would go stale through a merge, same as single-chip).
         from ..world import AUTO_P3M_MIN_PAIRS
         per_chip = (total_len * mass_len) // max(d, 1)
-        return "jnp" if per_chip <= AUTO_P3M_MIN_PAIRS else "p3m"
-    if force_backend not in ("jnp", "pallas", "pallas_ring", "pm", "p3m"):
+        far = "pm" if merging else "p3m"
+        force_backend = "jnp" if per_chip <= AUTO_P3M_MIN_PAIRS else far
+    elif force_backend not in ("jnp", "pallas", "pallas_ring", "pm", "p3m"):
         raise ValueError(
             f"unknown force_backend {force_backend!r}; expected 'jnp', "
             "'pallas', 'pallas_ring', 'pm', 'p3m', or 'auto'")
+    if merging and force_backend == "p3m":
+        raise ValueError(
+            "merge_collisions is not supported with force_backend='p3m' "
+            "(frozen cell blocks); use 'jnp', 'pallas', 'pallas_ring', "
+            "or 'pm'")
     return force_backend
 
 
@@ -341,11 +408,6 @@ class ShardedWorld:
         self.mesh = mesh if mesh is not None else make_mesh()
         d = self.mesh.devices.size
         self.n_devices = d
-        if config.merge_collisions:
-            raise ValueError(
-                "merge_collisions is single-chip only (the merge pass "
-                "needs the full massive set resident; a collective merge "
-                "is future work) — drop the flag or run unsharded")
         self.config = config
 
         from ..types import DTYPE
@@ -360,7 +422,7 @@ class ShardedWorld:
         # the only device->host transfer at creation: one scalar
         mass_len = int(jax.device_get(jnp.count_nonzero(mass0 > 0.0)))
         self.force_backend = force_backend = _default_force_backend(
-            force_backend, n, mass_len, d)
+            force_backend, n, mass_len, d, merging=config.merge_collisions)
 
         s_loc, t_loc, src_len, n_pad = shard_layout(n, mass_len, config, d)
 
@@ -415,13 +477,10 @@ class ShardedWorld:
         self.mesh = mesh
         d = mesh.devices.size
         self.n_devices = d
-        if config.merge_collisions:
-            raise ValueError(
-                "merge_collisions is single-chip only — restore this "
-                "checkpoint through load_world_orbax (host path) instead")
         self.config = config
         self.force_backend = force_backend = _default_force_backend(
-            force_backend, total_len, mass_len, d)
+            force_backend, total_len, mass_len, d,
+            merging=config.merge_collisions)
 
         s_loc, t_loc, src_len, n_pad = shard_layout(total_len, mass_len, config, d)
         if pos.shape != (n_pad, 2):
@@ -492,6 +551,27 @@ class ShardedWorld:
                 out_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None)),
                 check_vma=False,
             )
+
+            if config.merge_collisions:
+                # pm only (p3m+merging rejected at construction): one
+                # collective substep per iteration, then the jit-level
+                # merge pass over the full-length gm row
+                from ..ops.collisions import merge_pass
+
+                def mstep(pos, vel, acc, radius, mass, gm_row, valid, dt):
+                    pos, vel, acc = smapped_loop(
+                        pos, vel, acc, radius, gm_row, valid, dt,
+                        jnp.int32(1))
+                    pos, vel, radius, mass, gm_row = merge_pass(
+                        pos, vel, radius, mass, gm_row,
+                        factor=config.merge_factor, g=config.g,
+                        chunk=min(512, gm_row.shape[0]))
+                    return pos, vel, acc, radius, mass, gm_row
+
+                update_m, adaptive_m, record_m = _build_merging_fns(mstep)
+                if set_aux:
+                    self._record_fn = record_m
+                return update_m, adaptive_m
 
             @functools.partial(jax.jit, static_argnames=("frames", "steps"),
                                donate_argnums=(0, 1, 2))
@@ -616,6 +696,26 @@ class ShardedWorld:
         if set_aux:
             self._substep = substep
 
+        if config.merge_collisions:
+            # ring backends: substep (shard_map) then the jit-level merge
+            # pass over the massive prefix (gm_src has length src_len, the
+            # same prefix the single-chip pass scans)
+            from ..ops.collisions import merge_pass
+
+            def mstep(pos, vel, acc, radius, mass, gm_src, valid, dt):
+                pos, vel, acc = substep(pos, vel, acc, radius, gm_src,
+                                        valid, dt)
+                pos, vel, radius, mass, gm_src = merge_pass(
+                    pos, vel, radius, mass, gm_src,
+                    factor=config.merge_factor, g=config.g,
+                    chunk=min(512, gm_src.shape[0]))
+                return pos, vel, acc, radius, mass, gm_src
+
+            update_m, adaptive_m, record_m = _build_merging_fns(mstep)
+            if set_aux:
+                self._record_fn = record_m
+            return update_m, adaptive_m
+
         @functools.partial(jax.jit, static_argnames=("frames", "steps"),
                            donate_argnums=(0, 1, 2))
         def record_run(pos, vel, acc, radius, gm_src, valid, dt, *,
@@ -668,10 +768,17 @@ class ShardedWorld:
         Advances the world's state. Returns host (frames, total_len, 2)."""
         run = self._record_fn
 
-        (self.pos, self.vel, self.acc), traj = run(
-            self.pos, self.vel, self.acc, self.radius, self.gm_src,
-            self.valid, jnp.float32(dt), frames=frames,
-            steps=steps_per_frame)
+        if self.config.merge_collisions:
+            (self.pos, self.vel, self.acc, self.radius, self.mass,
+             self.gm_src), traj = run(
+                self.pos, self.vel, self.acc, self.radius, self.mass,
+                self.gm_src, self.valid, jnp.float32(dt), frames=frames,
+                steps=steps_per_frame)
+        else:
+            (self.pos, self.vel, self.acc), traj = run(
+                self.pos, self.vel, self.acc, self.radius, self.gm_src,
+                self.valid, jnp.float32(dt), frames=frames,
+                steps=steps_per_frame)
         self._host_cache = None
         return np.asarray(traj[:, : self.total_len, :])
 
@@ -692,10 +799,16 @@ class ShardedWorld:
                     extra_force=extra_force, set_aux=False)
                 self._hooked_key = extra_force
             fn = self._hooked_fn
-        self.pos, self.vel, self.acc = fn(
-            self.pos, self.vel, self.acc, self.radius, self.gm_src, self.valid,
-            jnp.float32(dt), jnp.int32(n),
-        )
+        if self.config.merge_collisions:
+            (self.pos, self.vel, self.acc, self.radius, self.mass,
+             self.gm_src) = fn(
+                self.pos, self.vel, self.acc, self.radius, self.mass,
+                self.gm_src, self.valid, jnp.float32(dt), jnp.int32(n))
+        else:
+            self.pos, self.vel, self.acc = fn(
+                self.pos, self.vel, self.acc, self.radius, self.gm_src,
+                self.valid, jnp.float32(dt), jnp.int32(n),
+            )
         self._host_cache = None
         return self
 
@@ -716,11 +829,17 @@ class ShardedWorld:
                     extra_force=extra_force, set_aux=False)
                 self._hooked_key = extra_force
             fn = self._hooked_adaptive
-        self.pos, self.vel, self.acc, k = fn(
-            self.pos, self.vel, self.acc, self.radius, self.gm_src,
-            self.valid, jnp.float32(t_span), jnp.float32(eta),
-            jnp.float32(dt_min), jnp.float32(dt_max),
-        )
+        knobs = (jnp.float32(t_span), jnp.float32(eta),
+                 jnp.float32(dt_min), jnp.float32(dt_max))
+        if self.config.merge_collisions:
+            (self.pos, self.vel, self.acc, self.radius, self.mass,
+             self.gm_src, k) = fn(
+                self.pos, self.vel, self.acc, self.radius, self.mass,
+                self.gm_src, self.valid, *knobs)
+        else:
+            self.pos, self.vel, self.acc, k = fn(
+                self.pos, self.vel, self.acc, self.radius, self.gm_src,
+                self.valid, *knobs)
         self._host_cache = None
         return int(jax.device_get(k))
 

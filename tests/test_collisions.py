@@ -186,12 +186,16 @@ def test_cli_merge_flag(tmp_path):
     assert w2.config.merge_collisions
 
 
-def test_sharded_rejects_merging():
+def test_sharded_default_backend_supports_merging():
+    # merging on meshes landed (see the sharded section below); the default
+    # backend resolution must pick a merge-capable backend
     from nbody_tpu.parallel import ShardedWorld, make_mesh
 
     scene = nb.make_galaxies(250, 1, seed=5)
-    with pytest.raises(ValueError, match="single-chip only"):
-        ShardedWorld(scene, make_mesh(4), config=MERGE)
+    sw = ShardedWorld(scene, make_mesh(4), config=MERGE)
+    assert sw.force_backend in ("jnp", "pallas", "pallas_ring", "pm")
+    sw.update(DT, 1)
+    assert np.isfinite(np.asarray(sw.particles.pos)).all()
 
 
 def test_multi_tile_chunked_merge_pass():
@@ -256,3 +260,70 @@ def test_invariant_validator_understands_merged_worlds():
     plain = _world([[0.0, 0.0], [50.0, 0.0]], mass=[5.0, 3.0],
                    radius=[0.7, 0.7], config=TINY)
     validate_world_invariants(plain)              # intact world still fine
+
+
+# ---- sharded merging (the collective form of the same pass) ----------------
+
+def _sharded(pos, mass, radius, n_dev=2, force_backend="jnp", vel=None):
+    from nbody_tpu.parallel.sharding import ShardedWorld, make_mesh
+
+    p = make_particles(
+        np.asarray(pos, np.float32),
+        vel=None if vel is None else np.asarray(vel, np.float32),
+        mass=np.asarray(mass, np.float32),
+        radius=np.asarray(radius, np.float32),
+    )
+    return ShardedWorld(p, make_mesh(n_dev), config=MERGE,
+                        force_backend=force_backend)
+
+
+@pytest.mark.parametrize("force_backend",
+                         ["jnp", "pallas", "pallas_ring", "pm"])
+def test_sharded_two_body_merge(force_backend):
+    sw = _sharded([[0.0, 0.0], [1.0, 0.0]], mass=[5.0, 3.0],
+                  radius=[0.7, 0.7], force_backend=force_backend)
+    sw.update(DT, 1)
+    p = sw.particles
+    assert p.mass[0] == pytest.approx(8.0) and p.mass[1] == 0.0
+    assert p.pos[0, 0] == pytest.approx(3.0 / 8.0, abs=1e-4)
+    assert p.radius[0] == pytest.approx((2 * 0.7**3) ** (1 / 3), rel=1e-5)
+
+
+def test_sharded_accretion_matches_single_chip():
+    # 20 substeps of a dense single galaxy: the same merges must happen in
+    # the same order as the single-chip pass (exact mass parity)
+    from nbody_tpu.parallel.sharding import ShardedWorld, make_mesh
+
+    scene = nb.make_galaxies(300, 1, seed=8)
+    w = nb.create_world(scene, config=MERGE)
+    w.update(0.01, 20, backend="jnp")
+    sw = ShardedWorld(scene, make_mesh(4), config=MERGE, force_backend="jnp")
+    sw.update(0.01, 20)
+    np.testing.assert_array_equal(np.asarray(sw.particles.mass),
+                                  np.asarray(w.particles.mass))
+    ref = np.asarray(w.particles.pos)
+    got = np.asarray(sw.particles.pos)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got / scale, ref / scale, atol=1e-5)
+    assert (np.asarray(w.particles.mass) == 0).sum() > 50  # merges happened
+
+
+def test_sharded_merge_record_and_adaptive():
+    # capture and adaptive run through the merging carries
+    sw = _sharded([[0.0, 0.0], [1.0, 0.0], [10.0, 10.0]],
+                  mass=[5.0, 3.0, 0.0], radius=[0.7, 0.7, 0.5], n_dev=2)
+    traj = sw.record(DT, frames=3, steps_per_frame=2)
+    assert traj.shape == (3, 3, 2)
+    assert sw.particles.mass[0] == pytest.approx(8.0)
+    sw2 = _sharded([[0.0, 0.0], [1.0, 0.0], [10.0, 10.0]],
+                   mass=[5.0, 3.0, 0.0], radius=[0.7, 0.7, 0.5], n_dev=2)
+    n = sw2.update_adaptive(0.01, dt_max=5e-3)
+    assert n >= 2
+    assert sw2.particles.mass[0] == pytest.approx(8.0)
+    assert np.isfinite(np.asarray(sw2.particles.pos)).all()
+
+
+def test_sharded_merge_p3m_rejected():
+    with pytest.raises(ValueError, match="not supported"):
+        _sharded([[0.0, 0.0], [1.0, 0.0]], mass=[1.0, 1.0],
+                 radius=[0.5, 0.5], force_backend="p3m")
