@@ -57,9 +57,12 @@ def validate_world_invariants(world) -> None:
     m = np.asarray(host.mass)
     assert world.total_len == host.pos.shape[0]
     merging = getattr(world.config, "merge_collisions", False)
+    # World carries the full-length gm row as .gm; ShardedWorld carries the
+    # per-backend source row as .gm_src (src_len for the ring backends,
+    # n_pad for pm/p3m) — the prefix invariants are identical.
+    gm = np.asarray(world.gm if hasattr(world, "gm") else world.gm_src)
     if merging:
         assert np.all(m[: world.mass_len] >= 0), "negative mass in prefix"
-        gm = np.asarray(world.gm)
         np.testing.assert_allclose(
             gm[: world.mass_len],
             world.config.g * m[: world.mass_len], rtol=1e-6,
@@ -67,7 +70,6 @@ def validate_world_invariants(world) -> None:
     else:
         assert np.all(m[: world.mass_len] > 0), \
             "massive-first partition violated"
-        gm = np.asarray(world.gm)
     assert np.all(m[world.mass_len:] <= 0), "massive-first partition violated"
     assert np.all(gm[world.mass_len:] == 0), "gm mask leaks beyond mass_len"
     assert world.n_pad >= world.src_len >= world.mass_len

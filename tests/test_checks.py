@@ -62,3 +62,21 @@ def test_checked_world_adaptive_is_validated():
         cw.update_adaptive(
             0.02, dt_max=0.01,
             extra_force=lambda pos, vel: jnp.full_like(pos, jnp.nan))
+
+
+def test_validator_accepts_sharded_worlds():
+    # validate_world_invariants reads .gm on World and .gm_src on
+    # ShardedWorld; both layouts share the prefix invariants
+    import dataclasses
+
+    from nbody_tpu.parallel.sharding import ShardedWorld, make_mesh
+
+    scene = make_galaxies(300, 1, seed=8)
+    sw = ShardedWorld(scene, make_mesh(4), config=TINY)
+    sw.update(0.01, 4)
+    validate_world_invariants(sw)
+    merged = ShardedWorld(
+        scene, make_mesh(4),
+        config=dataclasses.replace(TINY, merge_collisions=True))
+    merged.update(0.01, 8)
+    validate_world_invariants(merged)
