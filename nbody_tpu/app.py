@@ -195,6 +195,24 @@ def cmd_run(args) -> None:
     print(f"N={w.total_len} massive={w.mass_len} backend={backend}",
           file=sys.stderr)
 
+    if args.adaptive is not None:
+        if args.traj or args.checkpoint_every:
+            raise SystemExit("--adaptive runs the whole span as one device "
+                             "while_loop; it does not compose with --traj "
+                             "or --checkpoint-every")
+        dt_max = args.dt if isinstance(args.dt, float) else 1.0
+        kwargs = {} if sharded else {"backend": args.backend}
+        t0 = time.perf_counter()
+        k = w.update_adaptive(args.adaptive, dt_max=dt_max, **kwargs)
+        w.block_until_ready()
+        dt_wall = time.perf_counter() - t0
+        print(f"t_span={args.adaptive} in {k} adaptive substeps, "
+              f"{dt_wall:.2f}s", file=sys.stderr)
+        if args.save:
+            save_world_atomic(args.save, w, step=start + k)
+            print(f"saved {args.save}", file=sys.stderr)
+        return
+
     def advance(k):
         if sharded:
             w.update(args.dt, k)
@@ -287,6 +305,11 @@ def main(argv=None) -> None:
     p = sub.add_parser("run", help="headless simulation")
     _add_scene_args(p)
     p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--adaptive", type=float, default=None, metavar="T_SPAN",
+                   help="integrate a PHYSICAL time span with per-substep "
+                        "adaptive dt instead of --steps fixed substeps "
+                        "(World/ShardedWorld.update_adaptive; a numeric "
+                        "--dt becomes the dt ceiling)")
     p.add_argument("--save", help="write final state checkpoint (.npz)")
     p.add_argument("--shard", action="store_true",
                    help="shard the run over every visible device "

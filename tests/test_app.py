@@ -217,3 +217,15 @@ def test_resume_inherits_saved_config(tmp_path):
     w2, _ = load_world(s2)
     assert w2.config.integrator == "leapfrog"   # inherited
     assert w2.config.pm_softening == 4.0        # overridden
+
+
+def test_run_adaptive(tmp_path, capsys):
+    out = tmp_path / "ad.npz"
+    main(["run", "--n", "300", "--galaxies", "1", "--adaptive", "0.02",
+          "--dt", "0.01", "--save", str(out)])
+    err = capsys.readouterr().err
+    assert "adaptive substeps" in err
+    assert out.exists()
+    with pytest.raises(SystemExit, match="does not compose"):
+        main(["run", "--n", "300", "--galaxies", "1", "--adaptive", "0.02",
+              "--traj", str(tmp_path / "t.npz")])
