@@ -139,3 +139,62 @@ def test_random_world_p3m_tracks_exact(seed):
         assert np.abs(outs[pp_chunk] - ref).max() / scale < 5e-3, (
             f"p3m diverged from exact at seed {seed}")
     assert np.abs(outs[64] - outs[0]).max() / scale < 1e-5
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_random_sharded_merging_matches_single(seed):
+    """Random dense worlds under merge_collisions: the sharded jit-level
+    merge pass must reproduce the single-chip merges bit-exactly in mass
+    (same winners, same order) for random mesh sizes and substep counts."""
+    import dataclasses
+
+    rng = np.random.default_rng(300 + seed)
+    n = int(rng.integers(16, 150))
+    d = int(rng.choice([2, 4, 8]))
+    # tight cluster so contacts actually happen
+    p = make_particles(
+        (rng.uniform(2, 8) * rng.normal(size=(n, 2))).astype(np.float32),
+        vel=rng.normal(size=(n, 2)).astype(np.float32),
+        mass=rng.uniform(0, 1e4, n).astype(np.float32),
+        radius=rng.uniform(0.5, 4.0, n).astype(np.float32),
+    )
+    dt = float(rng.uniform(0.001, 0.02))
+    steps = int(rng.integers(2, 10))
+    cfg = dataclasses.replace(TINY, merge_collisions=True)
+
+    w = create_world(p, config=cfg)
+    w.update(dt, steps, backend="jnp")
+    sw = ShardedWorld(p, make_mesh(d), config=cfg, force_backend="jnp")
+    sw.update(dt, steps)
+
+    validate_world_invariants(w)
+    validate_world_invariants(sw)
+    np.testing.assert_array_equal(np.asarray(sw.particles.mass),
+                                  np.asarray(w.particles.mass))
+    ref = np.asarray(w.particles.pos)
+    scale = max(1.0, np.abs(ref).max())
+    # masses are the strong (exact) assertion; positions only track loosely:
+    # post-merge bodies sit in close encounters where fp summation-order
+    # noise between the ring and single-chip force grows chaotically
+    assert np.abs(np.asarray(sw.particles.pos) - ref).max() / scale < 3e-3
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_random_sharded_adaptive_matches_single(seed):
+    """Random worlds under adaptive stepping: substep counts agree (the
+    criterion min is a collective) and trajectories track."""
+    rng = np.random.default_rng(400 + seed)
+    n = int(rng.integers(16, 150))
+    d = int(rng.choice([2, 4]))
+    p = random_particles(rng, n)
+    t_span = float(rng.uniform(0.01, 0.05))
+
+    w = create_world(p, config=TINY)
+    k1 = w.update_adaptive(t_span, dt_max=0.01, backend="jnp")
+    sw = ShardedWorld(p, make_mesh(d), config=TINY, force_backend="jnp")
+    k2 = sw.update_adaptive(t_span, dt_max=0.01)
+
+    assert abs(k1 - k2) <= 1, (k1, k2)
+    ref = np.asarray(w.particles.pos)
+    scale = max(1.0, np.abs(ref).max())
+    assert np.abs(np.asarray(sw.particles.pos) - ref).max() / scale < 1e-3
