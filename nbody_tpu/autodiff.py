@@ -217,14 +217,14 @@ def rollout(
 def _sharded_rollout_fn(mesh, n, n_pad, mass_len, n_steps, backend, precise,
                         remat, g, pm_grid, pm_softening, p3m_rc_cells,
                         p3m_cell_capacity, p3m_exact_targets, p3m_pp_chunk,
-                        chunk, integrator):
+                        chunk, integrator, extra_force, has_params):
     from jax.sharding import PartitionSpec as P
 
     from .parallel.sharding import AXIS
 
     d = mesh.devices.size
 
-    def body(pos, vel, radius, gm, valid, dt):
+    def body(pos, vel, radius, gm, valid, dt, params):
         # per-device shards; collectives inside are differentiable (ppermute
         # transposes to the inverse ring, psum/all_gather to their adjoints)
         if backend == "pm":
@@ -268,7 +268,20 @@ def _sharded_rollout_fn(mesh, n, n_pad, mass_len, n_steps, backend, precise,
 
         def step(carry, _):
             p, v = carry
-            p, v, _ = integrators.advance(integrator, force, p, v, dt)
+            if extra_force is None:
+                f = force
+            else:
+                # the hook sees LOCAL rows (pointwise per-particle field,
+                # same contract as ShardedWorld.update's hook), masked so
+                # padding rows stay inert; params are replicated and grads
+                # flow into them through shard_map's psum'd adjoint
+                def f(pp, _v=v):
+                    extra = (forces.checked_extra_acc(extra_force, pp, _v,
+                                                      params)
+                             if has_params else
+                             forces.checked_extra_acc(extra_force, pp, _v))
+                    return force(pp) + extra * valid
+            p, v, _ = integrators.advance(integrator, f, p, v, dt)
             return (p, v), None
 
         if remat:
@@ -279,13 +292,13 @@ def _sharded_rollout_fn(mesh, n, n_pad, mass_len, n_steps, backend, precise,
     smapped = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS), P(AXIS),
-                  P(AXIS, None), P()),
+                  P(AXIS, None), P(), P()),
         out_specs=(P(AXIS, None), P(AXIS, None)),
         check_vma=False,
     )
 
     @jax.jit
-    def run(pos, vel, mass, radius, dt):
+    def run(pos, vel, mass, radius, dt, params):
         def pad2(a):
             return jnp.pad(a, ((0, n_pad - n), (0, 0)))
 
@@ -295,7 +308,7 @@ def _sharded_rollout_fn(mesh, n, n_pad, mass_len, n_steps, backend, precise,
                       constant_values=1.0)
         valid = (jnp.arange(n_pad) < n).astype(pos.dtype)[:, None]
         p, v = smapped(pad2(pos), pad2(vel), rad, gm, valid,
-                       jnp.asarray(dt, pos.dtype))
+                       jnp.asarray(dt, pos.dtype), params)
         return p[:n], v[:n]
 
     return run
@@ -318,6 +331,8 @@ def rollout_sharded(
     p3m_pp_chunk: int = 0,
     chunk: int = 512,
     integrator: str = "euler",
+    extra_force=None,
+    extra_force_params=None,
 ):
     """Differentiable rollout sharded over a 1-D device mesh.
 
@@ -335,6 +350,11 @@ def rollout_sharded(
     returned global (pos, vel) gives per-particle sensitivities at
     multi-chip scale. Inputs must be massive-first ordered (as
     :func:`rollout`); returns final global (pos, vel) of length N.
+
+    ``extra_force`` / ``extra_force_params`` mirror :func:`rollout`'s hook:
+    a pointwise per-particle field composed with self-gravity per shard
+    (it sees LOCAL rows), with gradients flowing into the replicated
+    params through the shard_map adjoint — sharded differentiable control.
     """
     from .types import round_up
 
@@ -351,8 +371,11 @@ def rollout_sharded(
     fn = _sharded_rollout_fn(
         mesh, n, n_pad, mass_len, n_steps, backend, precise, remat, g,
         pm_grid, pm_softening, p3m_rc_cells, p3m_cell_capacity,
-        p3m_exact_targets, p3m_pp_chunk, chunk, integrator)
-    return fn(pos, vel, mass, radius, jnp.asarray(dt, jnp.float32))
+        p3m_exact_targets, p3m_pp_chunk, chunk, integrator,
+        extra_force, extra_force_params is not None)
+    params = (jnp.float32(0.0) if extra_force_params is None
+              else extra_force_params)
+    return fn(pos, vel, mass, radius, jnp.asarray(dt, jnp.float32), params)
 
 
 def rollout_particles(particles: Particles, dt, n_steps: int, mass_len: int, **kw):
