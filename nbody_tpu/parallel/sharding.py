@@ -454,8 +454,10 @@ class ShardedWorld:
         else:
             self.gm_src = jax.device_put(gm_full[:src_len], sh)
         self.valid = jax.device_put(valid, sh2)
-        self._update_fn, self._adaptive_fn = self._build_update()
-        self._hooked_key = self._hooked_fn = self._hooked_adaptive = None
+        (self._update_fn, self._adaptive_fn,
+         self._record_fn) = self._build_update()
+        self._hooked_key = self._hooked_fn = None
+        self._hooked_adaptive = self._hooked_record = None
         self._host_cache: Particles | None = None
 
     @classmethod
@@ -512,14 +514,16 @@ class ShardedWorld:
             return gm_row, valid
 
         self.gm_src, self.valid = synth(self.mass)
-        self._update_fn, self._adaptive_fn = self._build_update()
-        self._hooked_key = self._hooked_fn = self._hooked_adaptive = None
+        (self._update_fn, self._adaptive_fn,
+         self._record_fn) = self._build_update()
+        self._hooked_key = self._hooked_fn = None
+        self._hooked_adaptive = self._hooked_record = None
         self._host_cache = None
         return self
 
     def _build_update(self, extra_force=None, set_aux=True):
-        """Build the jitted n-substep update (and, when ``set_aux``, the
-        capture/record machinery). ``extra_force(pos, vel) -> acc`` is the
+        """Build the jitted (update, adaptive, record) triple; ``set_aux``
+        additionally stashes the raw substep closure for tests. ``extra_force(pos, vel) -> acc`` is the
         sharded form of the single-chip hook: a POINTWISE per-particle
         field (it runs inside shard_map on local rows), composed with
         self-gravity before the mask; the fused pallas_ring kernel cannot
@@ -568,10 +572,7 @@ class ShardedWorld:
                         chunk=min(512, gm_row.shape[0]))
                     return pos, vel, acc, radius, mass, gm_row
 
-                update_m, adaptive_m, record_m = _build_merging_fns(mstep)
-                if set_aux:
-                    self._record_fn = record_m
-                return update_m, adaptive_m
+                return _build_merging_fns(mstep)
 
             @functools.partial(jax.jit, static_argnames=("frames", "steps"),
                                donate_argnums=(0, 1, 2))
@@ -586,9 +587,6 @@ class ShardedWorld:
 
                 return jax.lax.scan(frame_body, (pos, vel, acc), None,
                                     length=frames)
-
-            if set_aux:
-                self._record_fn = record_run
 
             @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
             def update(pos, vel, acc, radius, gm_src, valid, dt, n):
@@ -608,7 +606,7 @@ class ShardedWorld:
                 return _adaptive_while(one, pos, vel, acc, radius,
                                        t_span, eta, dt_min, dt_max)
 
-            return update, adaptive
+            return update, adaptive, record_run
         else:
             if force_backend == "pallas_ring":
                 step = functools.partial(
@@ -711,10 +709,7 @@ class ShardedWorld:
                     chunk=min(512, gm_src.shape[0]))
                 return pos, vel, acc, radius, mass, gm_src
 
-            update_m, adaptive_m, record_m = _build_merging_fns(mstep)
-            if set_aux:
-                self._record_fn = record_m
-            return update_m, adaptive_m
+            return _build_merging_fns(mstep)
 
         @functools.partial(jax.jit, static_argnames=("frames", "steps"),
                            donate_argnums=(0, 1, 2))
@@ -730,11 +725,6 @@ class ShardedWorld:
 
             return jax.lax.scan(frame_body, (pos, vel, acc), None,
                                 length=frames)
-
-        if set_aux:
-            # one jit cache per world instance (keyed on frames/steps), so
-            # repeated captures never retrace
-            self._record_fn = record_run
 
         @functools.partial(
             jax.jit, donate_argnums=(0, 1, 2),
@@ -754,9 +744,10 @@ class ShardedWorld:
             return _adaptive_while(one, pos, vel, acc, radius,
                                    t_span, eta, dt_min, dt_max)
 
-        return update, adaptive
+        return update, adaptive, record_run
 
-    def record(self, dt: float, frames: int, steps_per_frame: int = 1):
+    def record(self, dt: float, frames: int, steps_per_frame: int = 1,
+               extra_force=None):
         """On-device sharded trajectory capture: frames*steps_per_frame
         substeps run in ONE jitted scan, positions stacked on device (the
         frame axis is unsharded; the particle axis keeps its mesh sharding),
@@ -765,8 +756,18 @@ class ShardedWorld:
         per-frame host readback, the exact pattern the single-chip path was
         built to kill — ref TODO README.md:97).
 
-        Advances the world's state. Returns host (frames, total_len, 2)."""
-        run = self._record_fn
+        Advances the world's state. Returns host (frames, total_len, 2).
+        ``extra_force`` composes a user field inside the capture scan (same
+        per-shard pointwise contract as :meth:`update`)."""
+        if extra_force is None:
+            run = self._record_fn
+        else:
+            if self._hooked_key is not extra_force:
+                (self._hooked_fn, self._hooked_adaptive,
+                 self._hooked_record) = self._build_update(
+                    extra_force=extra_force, set_aux=False)
+                self._hooked_key = extra_force
+            run = self._hooked_record
 
         if self.config.merge_collisions:
             (self.pos, self.vel, self.acc, self.radius, self.mass,
@@ -795,7 +796,8 @@ class ShardedWorld:
             fn = self._update_fn
         else:
             if self._hooked_key is not extra_force:
-                self._hooked_fn, self._hooked_adaptive = self._build_update(
+                (self._hooked_fn, self._hooked_adaptive,
+                 self._hooked_record) = self._build_update(
                     extra_force=extra_force, set_aux=False)
                 self._hooked_key = extra_force
             fn = self._hooked_fn
@@ -825,7 +827,8 @@ class ShardedWorld:
             fn = self._adaptive_fn
         else:
             if self._hooked_key is not extra_force:
-                self._hooked_fn, self._hooked_adaptive = self._build_update(
+                (self._hooked_fn, self._hooked_adaptive,
+                 self._hooked_record) = self._build_update(
                     extra_force=extra_force, set_aux=False)
                 self._hooked_key = extra_force
             fn = self._hooked_adaptive

@@ -22,7 +22,8 @@ from .world import World, _step
 
 @functools.partial(
     jax.jit,
-    static_argnames=("frames", "steps_per_frame", "src_len", "config", "backend"),
+    static_argnames=("frames", "steps_per_frame", "src_len", "config",
+                     "backend", "extra_force"),
     donate_argnums=(0,),
 )
 def record_states(
@@ -36,6 +37,7 @@ def record_states(
     src_len: int,
     config: SimConfig,
     backend: str,
+    extra_force=None,
 ):
     """Run frames*steps_per_frame substeps; return
     (final_state, final_gm, pos_frames) where pos_frames has shape
@@ -45,6 +47,7 @@ def record_states(
     body = functools.partial(
         _step, gm=gm, valid=valid, dt=dt,
         src_len=src_len, config=config, backend=backend, interpret=None,
+        extra_force=extra_force,
     )
 
     if config.merge_collisions:
@@ -53,7 +56,7 @@ def record_states(
         from .world import merging_substep_fn
 
         sub = merging_substep_fn(valid, src_len=src_len, config=config,
-                                 backend=backend)
+                                 backend=backend, extra_force=extra_force)
 
         def frame_body(carry, _):
             carry = jax.lax.fori_loop(
@@ -102,9 +105,12 @@ def record_trajectory(
     frames: int,
     steps_per_frame: int = 1,
     backend: str | None = None,
+    extra_force=None,
 ) -> np.ndarray:
     """Advance `world` by frames*steps_per_frame substeps, returning captured
-    positions as host (frames, total_len, 2). The world's state is updated."""
+    positions as host (frames, total_len, 2). The world's state is updated.
+    ``extra_force(pos, vel) -> acc`` composes a user field with self-gravity
+    inside the capture scan (same contract as World.update's hook)."""
     from .world import effective_src_len, resolve_backend
 
     backend = resolve_backend(backend or world.default_backend,
@@ -115,7 +121,7 @@ def record_trajectory(
         world.state, world.gm, world.valid, jnp.float32(dt),
         frames=frames, steps_per_frame=steps_per_frame,
         src_len=effective_src_len(backend, world.src_len, world.mass_len),
-        config=world.config, backend=backend,
+        config=world.config, backend=backend, extra_force=extra_force,
     )
     world.state = state
     world.gm = gm
@@ -124,13 +130,13 @@ def record_trajectory(
 
 
 def record_trajectory_sharded(
-    world, dt: float, frames: int, steps_per_frame: int = 1
+    world, dt: float, frames: int, steps_per_frame: int = 1, extra_force=None
 ) -> np.ndarray:
     """Trajectory capture for a ShardedWorld: all frames are captured inside
     ONE jitted scan on device (stacked sharded along the particle axis) and
     gathered to the host once at the end — same contract as the single-chip
     :func:`record_trajectory`. Delegates to :meth:`ShardedWorld.record`."""
-    return world.record(dt, frames, steps_per_frame)
+    return world.record(dt, frames, steps_per_frame, extra_force=extra_force)
 
 
 def save_trajectory(path: str, traj: np.ndarray, **extra) -> None:

@@ -108,7 +108,7 @@ def test_streaming_sources_mode(n_devices):
 
         sh._fused_ring_step_shard = patched
         try:
-            sa._update_fn, sa._adaptive_fn = sa._build_update()
+            sa._update_fn, sa._adaptive_fn, sa._record_fn = sa._build_update()
             sa.update(0.01, 2)
         finally:
             sh._fused_ring_step_shard = orig
