@@ -30,6 +30,12 @@ def _add_scene_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--n", type=int, default=6000, help="particle count (main.c:13)")
     p.add_argument("--galaxies", type=int, default=3, help="galaxy count (main.c:44)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--scene",
+                   choices=["galaxies", "plummer", "kepler", "cold"],
+                   default="galaxies",
+                   help="model family: spiral galaxies (reference scene), "
+                        "Plummer disk, Kepler disk (central mass + "
+                        "rotation-supported ring), or cold-collapse disk")
     p.add_argument("--state", help="resume from a .npz checkpoint instead of generating")
     p.add_argument("--backend",
                    choices=["jnp", "pallas", "pallas_fused", "pm", "p3m",
@@ -111,7 +117,18 @@ def _make_world(args):
 
         saved = saved_config(extra)
     else:
-        particles = make_galaxies(args.n, args.galaxies, seed=args.seed)
+        scene = getattr(args, "scene", "galaxies")
+        if scene == "galaxies":
+            particles = make_galaxies(args.n, args.galaxies, seed=args.seed)
+        else:
+            import jax
+
+            from . import models
+
+            maker = {"plummer": models.make_plummer_disk,
+                     "kepler": models.make_kepler_disk,
+                     "cold": models.make_cold_disk}[scene]
+            particles = maker(jax.random.PRNGKey(args.seed), args.n)
     pm_grid = args.pm_grid
     if pm_grid == "auto":
         from .ops.pm_forces import suggest_grid

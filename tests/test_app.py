@@ -229,3 +229,12 @@ def test_run_adaptive(tmp_path, capsys):
     with pytest.raises(SystemExit, match="does not compose"):
         main(["run", "--n", "300", "--galaxies", "1", "--adaptive", "0.02",
               "--traj", str(tmp_path / "t.npz")])
+
+
+def test_scene_families_via_cli(tmp_path):
+    for scene in ("plummer", "kepler", "cold"):
+        state = str(tmp_path / f"{scene}.npz")
+        main(["run", "--n", "300", "--scene", scene, "--steps", "2",
+              "--dt", "0.005", "--save", state])
+        with np.load(state) as d:
+            assert np.isfinite(d["pos"]).all(), scene
