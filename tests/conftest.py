@@ -46,6 +46,7 @@ SMOKE = {
     "test_cpp_galaxy.py::test_counts_and_finiteness",
     "test_cpp_oracle.py::test_oracle_massless_rule",
     "test_diagnostics.py::test_kinetic_golden",
+    "test_disks.py::test_kepler_disk_structure",
     "test_edge_cases.py::test_single_tracer_world",
     "test_forces.py::test_golden_two_body",
     "test_forces.py::test_softening_uses_target_radius_linear",
