@@ -39,6 +39,10 @@ def main() -> None:
     scene = nb.make_galaxies(1536, 2, seed=7)
     world = multihost.multihost_world(scene)
     world.update(0.005, 10)
+    # collective adaptive stepping across processes: the criterion's min
+    # reduces over the whole global mesh, so every process must take the
+    # identical substep count
+    k_adaptive = world.update_adaptive(0.01, dt_max=0.005)
     parts = multihost.gather_particles(world)
 
     # Orbax is multi-process-native: every process writes only its own
@@ -48,7 +52,8 @@ def main() -> None:
     save_world_orbax(f"{outdir}/orbax_ckpt", world, step=10)
 
     np.savez(f"{outdir}/proc{proc_id}.npz",
-             pos=parts.pos, vel=parts.vel, mass=parts.mass)
+             pos=parts.pos, vel=parts.vel, mass=parts.mass,
+             k_adaptive=np.int64(k_adaptive))
 
 
 if __name__ == "__main__":

@@ -77,6 +77,9 @@ def test_processes_agree(worker_outputs):
     _, (a, b) = worker_outputs
     for key in ("pos", "vel", "mass"):
         np.testing.assert_array_equal(a[key], b[key])
+    # both processes took the identical adaptive substep count (the dt
+    # criterion's min is a cross-process collective)
+    assert int(a["k_adaptive"]) == int(b["k_adaptive"]) >= 2
 
 
 def test_matches_single_process_mesh(worker_outputs):
@@ -89,6 +92,9 @@ def test_matches_single_process_mesh(worker_outputs):
     sw = ShardedWorld(scene, make_mesh())
     assert sw.n_devices == 8
     sw.update(DT, SUBSTEPS)
+    # the workers also ran the collective adaptive span; mirror it
+    k = sw.update_adaptive(0.01, dt_max=0.005)
+    assert k == int(a["k_adaptive"])
     ref = sw.particles
     np.testing.assert_allclose(a["mass"], ref.mass, rtol=0)
     np.testing.assert_allclose(a["pos"], ref.pos, rtol=0, atol=1e-5)
