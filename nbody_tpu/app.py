@@ -135,9 +135,6 @@ def _make_world(args):
 
         pm_grid = suggest_grid(particles.pos.shape[0])
         print(f"pm_grid auto -> {pm_grid}", file=sys.stderr)
-    if args.merge is not None and getattr(args, "backend", None) == "p3m":
-        sys.exit("nbody_tpu: error: --merge is not supported with "
-                 "--backend p3m (frozen cell blocks); use jnp, pallas, or pm")
     if saved is not None:
         # resume reproduces the save-time physics: checkpoint config is the
         # base; only explicitly passed flags override it
@@ -161,6 +158,11 @@ def _make_world(args):
                            merge_collisions=args.merge is not None,
                            merge_factor=(1.0 if args.merge is None
                                          else args.merge))
+    if config.merge_collisions and getattr(args, "backend", None) == "p3m":
+        # checked on the RESOLVED config so a resumed merge-enabled
+        # checkpoint is caught too, not just an explicit --merge flag
+        sys.exit("nbody_tpu: error: merging is not supported with "
+                 "--backend p3m (frozen cell blocks); use jnp, pallas, or pm")
     if getattr(args, "shard", False):
         # multi-chip: shard the run over every visible device (pod slices;
         # on one chip this degenerates to a 1-device mesh). The backend is
@@ -204,8 +206,15 @@ def cmd_run(args) -> None:
     if args.checkpoint_every and args.traj:
         print("warning: --checkpoint-every is ignored with --traj "
               "(trajectory capture runs as one fused scan)", file=sys.stderr)
+    if args.adaptive is not None and args.adaptive <= 0:
+        raise SystemExit(f"--adaptive T_SPAN must be > 0, "
+                         f"got {args.adaptive}")
     w, start = _make_world(args)
-    _resolve_dt(args, w)
+    if args.adaptive is None:
+        # --adaptive does NOT resolve --dt auto: the adaptive loop
+        # re-evaluates the criterion itself every substep (and handles the
+        # force-free inf case), so auto just means "default dt ceiling"
+        _resolve_dt(args, w)
     sharded = getattr(args, "shard", False)
     backend = (f"{w.force_backend} x{w.n_devices}dev" if sharded
                else w.default_backend)

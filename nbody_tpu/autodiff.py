@@ -213,7 +213,10 @@ def rollout(
     return pos, vel
 
 
-@functools.lru_cache(maxsize=None)
+# bounded: the key includes the user's extra_force function identity, so a
+# lambda-per-call hook would otherwise grow the cache (and its compiled
+# executables) without limit
+@functools.lru_cache(maxsize=64)
 def _sharded_rollout_fn(mesh, n, n_pad, mass_len, n_steps, backend, precise,
                         remat, g, pm_grid, pm_softening, p3m_rc_cells,
                         p3m_cell_capacity, p3m_exact_targets, p3m_pp_chunk,
@@ -355,6 +358,9 @@ def rollout_sharded(
     a pointwise per-particle field composed with self-gravity per shard
     (it sees LOCAL rows), with gradients flowing into the replicated
     params through the shard_map adjoint — sharded differentiable control.
+    The compiled rollout is cached on the hook's FUNCTION IDENTITY (same
+    contract as ``ShardedWorld.update``): define the hook once and reuse
+    the same object, or every call re-traces and re-compiles.
     """
     from .types import round_up
 

@@ -103,6 +103,28 @@ def angular_momentum(state: Particles) -> jax.Array:
     return jnp.sum(state.mass * (x * vy - y * vx))
 
 
+def criterion_dt(acc: jax.Array, radius: jax.Array, eta) -> jax.Array:
+    """The softening-resolution criterion on raw arrays:
+    eta · min_i sqrt(eps_i / |a_i|) with eps_i = sqrt(radius_i); +inf for a
+    force-free world. THE single definition — :func:`suggest_dt`, the
+    single-chip adaptive loop (world.update_state_adaptive) and both
+    sharded adaptive loops (parallel.sharding) all call this, so the
+    cross-path substep-count parity tests cannot drift."""
+    a = jnp.sqrt(jnp.sum(acc**2, axis=1))
+    t = jnp.where(a > 0, jnp.sqrt(jnp.sqrt(radius)
+                                  / jnp.maximum(a, 1e-30)), jnp.inf)
+    return eta * jnp.min(t)
+
+
+def next_adaptive_dt(acc, radius, *, eta, dt_min, dt_max, t, t_span):
+    """One adaptive-loop dt choice: the criterion clipped to
+    [max(dt_min, 1e-9), dt_max] (floored away from 0 so the while_loop
+    always terminates) and shrunk to land exactly on ``t_span``."""
+    dt = jnp.clip(criterion_dt(acc, radius, eta),
+                  jnp.maximum(dt_min, 1e-9), dt_max)
+    return jnp.minimum(dt, t_span - t)
+
+
 @functools.partial(jax.jit, static_argnames=("eta",))
 def suggest_dt(state: Particles, *, eta: float = 0.1) -> jax.Array:
     """Global timestep suggestion: eta · min_i sqrt(eps_i / |a_i|) over rows
@@ -112,10 +134,7 @@ def suggest_dt(state: Particles, *, eta: float = 0.1) -> jax.Array:
     softening criterion — resolve the fastest orbit through the softened
     core. Uses the state's stored ``acc`` (valid after any substep); returns
     +inf for a force-free world."""
-    a = jnp.sqrt(jnp.sum(state.acc**2, axis=1))
-    eps = jnp.sqrt(state.radius)
-    t = jnp.where(a > 0, jnp.sqrt(eps / jnp.maximum(a, 1e-30)), jnp.inf)
-    return eta * jnp.min(t)
+    return criterion_dt(state.acc, state.radius, eta)
 
 
 @functools.partial(jax.jit, static_argnames=("mass_len", "grid", "g"))

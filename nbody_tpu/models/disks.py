@@ -57,9 +57,10 @@ def make_kepler_disk(
 
     speed = jnp.sqrt(G * central_mass / r)
     vel = speed[:, None] * jnp.stack([-sin_t, cos_t], axis=1)
-    if eccentricity_jitter:
-        vel = vel + (eccentricity_jitter * speed[:, None]
-                     * jax.random.normal(k3, (m, 2), DTYPE))
+    # applied unconditionally: the knob is traced under jit (only n is
+    # static), so a python `if` on it would fail on any explicit value
+    vel = vel + (jnp.float32(eccentricity_jitter) * speed[:, None]
+                 * jax.random.normal(k3, (m, 2), DTYPE))
 
     pos = jnp.concatenate([jnp.zeros((1, 2), DTYPE), pos], axis=0)
     vel = jnp.concatenate([jnp.zeros((1, 2), DTYPE), vel], axis=0)

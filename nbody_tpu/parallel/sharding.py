@@ -270,23 +270,18 @@ def _adaptive_while(one, pos, vel, acc, radius, t_span, eta, dt_min, dt_max):
     agrees on each dt by construction. Padding rows are inert: their acc is
     masked to zero by ``valid`` inside the force shards and zero acc maps to
     an infinite per-row timescale."""
+    from ..diagnostics import next_adaptive_dt
+
     # prime acc (dt = 0: nothing moves, acc stored)
     pos, vel, acc = one(pos, vel, acc, jnp.float32(0.0))
-
-    def crit(a_arr):
-        a = jnp.sqrt(jnp.sum(a_arr**2, axis=1))
-        t = jnp.where(a > 0, jnp.sqrt(jnp.sqrt(radius)
-                                      / jnp.maximum(a, 1e-30)), jnp.inf)
-        return eta * jnp.min(t)
 
     def cond(carry):
         return carry[3] < t_span
 
     def body(carry):
         pos, vel, acc, t, k = carry
-        # dt_min floored away from 0 so the loop always terminates
-        dt = jnp.clip(crit(acc), jnp.maximum(dt_min, 1e-9), dt_max)
-        dt = jnp.minimum(dt, t_span - t)
+        dt = next_adaptive_dt(acc, radius, eta=eta, dt_min=dt_min,
+                              dt_max=dt_max, t=t, t_span=t_span)
         pos, vel, acc = one(pos, vel, acc, dt)
         return pos, vel, acc, t + dt, k + 1
 
@@ -328,22 +323,18 @@ def _build_merging_fns(mstep):
                  t_span, eta, dt_min, dt_max):
         # prime acc (dt = 0; the merge in the priming substep also resolves
         # bodies that already overlap at entry, like the single-chip path)
-        c = mstep(pos, vel, acc, radius, mass, gm, valid, jnp.float32(0.0))
+        from ..diagnostics import next_adaptive_dt
 
-        def crit(c):
-            acc_, rad_ = c[2], c[3]
-            a = jnp.sqrt(jnp.sum(acc_**2, axis=1))
-            t = jnp.where(a > 0, jnp.sqrt(jnp.sqrt(rad_)
-                                          / jnp.maximum(a, 1e-30)), jnp.inf)
-            return eta * jnp.min(t)
+        c = mstep(pos, vel, acc, radius, mass, gm, valid, jnp.float32(0.0))
 
         def cond(carry):
             return carry[1] < t_span
 
         def body(carry):
             c, t, k = carry
-            dt = jnp.clip(crit(c), jnp.maximum(dt_min, 1e-9), dt_max)
-            dt = jnp.minimum(dt, t_span - t)
+            # c[2]/c[3] = acc / radius (radius changes through merges)
+            dt = next_adaptive_dt(c[2], c[3], eta=eta, dt_min=dt_min,
+                                  dt_max=dt_max, t=t, t_span=t_span)
             return mstep(*c, valid, dt), t + dt, k + 1
 
         c, _, k = jax.lax.while_loop(

@@ -501,11 +501,7 @@ def update_state_adaptive(
     # prime acc (dt = 0: v and x unchanged, acc stored)
     state, gm = sub((state, gm), jnp.float32(0.0))
 
-    def crit(st):
-        a = jnp.sqrt(jnp.sum(st.acc**2, axis=1))
-        t = jnp.where(a > 0, jnp.sqrt(jnp.sqrt(st.radius)
-                                      / jnp.maximum(a, 1e-30)), jnp.inf)
-        return eta * jnp.min(t)
+    from .diagnostics import next_adaptive_dt
 
     def cond(carry):
         _, _, t, _ = carry
@@ -513,9 +509,8 @@ def update_state_adaptive(
 
     def body(carry):
         st, gm, t, k = carry
-        # dt_min floored away from 0 so the loop always terminates
-        dt = jnp.clip(crit(st), jnp.maximum(dt_min, 1e-9), dt_max)
-        dt = jnp.minimum(dt, t_span - t)
+        dt = next_adaptive_dt(st.acc, st.radius, eta=eta, dt_min=dt_min,
+                              dt_max=dt_max, t=t, t_span=t_span)
         st, gm = sub((st, gm), dt)
         return st, gm, t + dt, k + 1
 

@@ -238,3 +238,35 @@ def test_scene_families_via_cli(tmp_path):
               "--dt", "0.005", "--save", state])
         with np.load(state) as d:
             assert np.isfinite(d["pos"]).all(), scene
+
+
+def test_adaptive_bad_span_and_resumed_merge_p3m_rejected(tmp_path):
+    with pytest.raises(SystemExit, match="must be > 0"):
+        main(["run", "--n", "300", "--galaxies", "1", "--adaptive", "-1"])
+    # a resumed merge-enabled checkpoint + --backend p3m is caught on the
+    # RESOLVED config, not just the explicit --merge flag
+    state = str(tmp_path / "m.npz")
+    main(["run", "--n", "300", "--galaxies", "1", "--steps", "1",
+          "--merge", "--save", state])
+    with pytest.raises(SystemExit, match="not supported"):
+        main(["run", "--state", state, "--steps", "1", "--backend", "p3m"])
+
+
+def test_adaptive_with_dt_auto_and_force_free(tmp_path):
+    # --adaptive handles --dt auto itself (criterion re-evaluated per
+    # substep; auto = default ceiling) and a force-free world must NOT be
+    # rejected — it takes dt_max steps (update_adaptive's inf-criterion
+    # contract)
+    from nbody_tpu import make_galaxies
+    from nbody_tpu.utils.checkpoint import save_particles
+
+    sc = make_galaxies(250, 1, seed=3)
+    sc = type(sc)(pos=sc.pos, vel=sc.vel, acc=sc.acc,
+                  mass=np.zeros_like(sc.mass), radius=sc.radius)
+    state = str(tmp_path / "massless.npz")
+    save_particles(state, sc)
+    out = str(tmp_path / "out.npz")
+    main(["run", "--state", state, "--adaptive", "0.05", "--dt", "auto",
+          "--save", out])
+    with np.load(out) as d:
+        assert np.isfinite(d["pos"]).all()
