@@ -182,7 +182,7 @@ def _pp_from_blocks(tgt_pos, tgt_radius, src_blocks, lo, inv_c, gc,
 
 def _pp_apply(tgt_pos, tgt_radius, src_blocks, order_t, cid_t, rank_t,
               counts_t, grank_t, gc, cap_t, rc, eps2, precise,
-              pack_t=None, unpack=None, chunk=None):
+              pack_t=None, unpack=None, chunk=None, compact=None):
     """PP correction given pre-packed source blocks AND a pre-computed
     target cell assignment (order/cid/rank/counts). Positions are always
     read fresh through the (possibly frozen — see ``p3m_bins``) orders.
@@ -193,6 +193,9 @@ def _pp_apply(tgt_pos, tgt_radius, src_blocks, order_t, cid_t, rank_t,
     restores original order with one flat-index gather instead of the
     slot-gather + lax.sort chain (measured deltas in _composite_pack and
     scripts/tune_r3e_block_pack.py).
+
+    ``compact``: opt-in active-cell compaction (requires ``chunk``; see
+    :func:`p3m_acc` for semantics and the measured win).
 
     The pair blocks run through XLA's fused map — a hand-written Pallas
     alternative exists (ops/p3m_pallas.py) but measured 30 ms vs 17 ms at
@@ -257,34 +260,71 @@ def _pp_apply(tgt_pos, tgt_radius, src_blocks, order_t, cid_t, rank_t,
     # — O(gc²·cap²) memory, gigabytes at production sizes. Rematerializing
     # the row in the backward pass keeps residuals at O(row inputs); the
     # primal-only path is unaffected.
-    if chunk and (gc * gc) % chunk == 0:
+    ncell = gc * gc
+    nbw = nsx.shape[-1]
+    cnt_flat = jnp.minimum(counts_t, cap_t).reshape(ncell)
+
+    def chunk_body(args):
+        blk, c = args[:-1], args[-1]
+        active = jnp.any(c > 0) & jnp.any(blk[5] != 0.0)
+        return jax.lax.cond(
+            active, row,
+            lambda _: jnp.zeros((chunk, cap_t, 2), DTYPE), blk)
+
+    def chunked_map(txf, tyf, trf, nsxf, nsyf, nsgf, cnt, m):
         # Occupancy-aware form: lax.map lowers to a SEQUENTIAL scan, so a
         # per-chunk lax.cond genuinely skips the pair math for chunks of
         # ``chunk`` cells with no targets or no candidate sources. Galaxy
         # scenes are clusters — at N=1M/4 galaxies only ~23% of 16-cell
         # chunks are active (vs ~72% of full gc-rows), so chunking the map
         # at sub-row granularity is what unlocks the skip.
-        ncell = gc * gc
-        nbw = nsx.shape[-1]
-        cnt = jnp.minimum(counts_t, cap_t).reshape(ncell // chunk, chunk)
-        ops = (tx.reshape(-1, chunk, cap_t), ty.reshape(-1, chunk, cap_t),
-               trad.reshape(-1, chunk, cap_t), nsx.reshape(-1, chunk, nbw),
-               nsy.reshape(-1, chunk, nbw), nsg.reshape(-1, chunk, nbw),
-               cnt)
+        ops = (txf.reshape(-1, chunk, cap_t), tyf.reshape(-1, chunk, cap_t),
+               trf.reshape(-1, chunk, cap_t), nsxf.reshape(-1, chunk, nbw),
+               nsyf.reshape(-1, chunk, nbw), nsgf.reshape(-1, chunk, nbw),
+               cnt.reshape(-1, chunk))
+        return jax.lax.map(
+            jax.checkpoint(chunk_body), ops).reshape(m, cap_t, 2)
 
-        def chunk_body(args):
-            blk, c = args[:-1], args[-1]
-            active = jnp.any(c > 0) & jnp.any(blk[5] != 0.0)
-            return jax.lax.cond(
-                active, row,
-                lambda _: jnp.zeros((chunk, cap_t, 2), DTYPE), blk)
-
-        corr_blocks = jax.lax.map(
-            jax.checkpoint(chunk_body), ops).reshape(ncell, cap_t, 2)
-    else:
-        corr_blocks = jax.lax.map(
+    def full_map(_):
+        if chunk and ncell % chunk == 0:
+            return chunked_map(tx, ty, trad, nsx, nsy, nsg, cnt_flat, ncell)
+        return jax.lax.map(
             jax.checkpoint(row), (tx, ty, trad, nsx, nsy, nsg)
-        ).reshape(gc * gc, cap_t, 2)
+        ).reshape(ncell, cap_t, 2)
+
+    use_compact = (compact and chunk and compact % chunk == 0
+                   and compact < ncell and ncell % chunk == 0)
+    if use_compact:
+        # Active-cell compaction (scripts/tune_r3i_pp_compact.py): the
+        # chunk-skip pays for a whole chunk when one cell in it is active;
+        # compacting the active cells into a static ``compact``-row panel
+        # (stable argsort actives-first) runs the pair map over actives
+        # only, then one remapped gather routes rows back (inactive cells
+        # read a zero sentinel — their correction is exactly zero by the
+        # same argument as the chunk skip). Exact only while
+        # n_active <= compact, so a lax.cond falls back to the full map —
+        # results are exact either way; only speed depends on occupancy.
+        txf, tyf, trf = (a.reshape(ncell, cap_t) for a in (tx, ty, trad))
+        nsxf, nsyf, nsgf = (a.reshape(ncell, nbw) for a in (nsx, nsy, nsg))
+        active = (cnt_flat > 0) & jnp.any(nsgf != 0.0, axis=-1)
+        n_active = jnp.sum(active.astype(jnp.int32))
+
+        def compact_map(_):
+            order = jnp.argsort(jnp.where(active, 0, 1), stable=True)
+            idx = order[:compact]
+            corr_c = chunked_map(txf[idx], tyf[idx], trf[idx], nsxf[idx],
+                                 nsyf[idx], nsgf[idx], cnt_flat[idx],
+                                 compact)
+            cellmap = jnp.full((ncell,), compact, jnp.int32).at[idx].set(
+                jnp.arange(compact, dtype=jnp.int32))
+            corr_pad = jnp.concatenate(
+                [corr_c, jnp.zeros((1, cap_t, 2), DTYPE)], axis=0)
+            return corr_pad[cellmap]
+
+        corr_blocks = jax.lax.cond(
+            n_active <= compact, compact_map, full_map, 0)
+    else:
+        corr_blocks = full_map(0)
     if unpack is not None:
         flat, okm = unpack
         got = corr_blocks.reshape(gc * gc * cap_t, 2)[flat]
@@ -332,6 +372,7 @@ def p3m_acc_collective(
     precise: bool = False,
     tgt_mask=None,
     pp_chunk: int | None = None,
+    pp_compact: int | None = None,
     axis_name: str,
     n_devices: int,
 ):
@@ -366,7 +407,7 @@ def p3m_acc_collective(
         bins, tgt_pos, tgt_radius, src_gm_row, softening,
         grid=grid, rc_cells=rc_cells, cell_capacity=cell_capacity,
         exact_targets=exact_targets, precise=precise, pp_chunk=pp_chunk,
-        axis_name=axis_name, n_devices=n_devices)
+        pp_compact=pp_compact, axis_name=axis_name, n_devices=n_devices)
 
 
 def _composite_index_maps(order_s, counts_s, order_t, cid_t, rank_t,
@@ -510,6 +551,7 @@ def p3m_acc_collective_from_bins(
     bins, tgt_pos, tgt_radius, src_gm_row, softening=2.0, *,
     grid: int, rc_cells: int, cell_capacity: int, exact_targets: int,
     precise: bool = False, pp_chunk: int | None = None,
+    pp_compact: int | None = None,
     axis_name: str, n_devices: int,
 ):
     """Sharded P³M with a frozen collective structure (see
@@ -553,7 +595,7 @@ def p3m_acc_collective_from_bins(
         tgt_pos, tgt_radius, (sx, sy, bins["sgm"]),
         bins["order_t"], bins["cid_t"], bins["rank_t"], bins["counts_t"],
         grank_t, gc, cap, rc, eps2, precise,
-        pack_t=pack_t, unpack=unpack, chunk=pp_chunk)
+        pack_t=pack_t, unpack=unpack, chunk=pp_chunk, compact=pp_compact)
 
     if exact_targets:
         from .. import forces
@@ -569,7 +611,7 @@ def p3m_acc_collective_from_bins(
 
 @functools.partial(jax.jit, static_argnames=(
     "grid", "rc_cells", "cell_capacity", "exact_targets", "precise",
-    "pp_chunk"))
+    "pp_chunk", "pp_compact"))
 def p3m_acc(
     tgt_pos: jax.Array,     # (T, 2)
     tgt_radius: jax.Array,  # (T,)  per-target softening (reference semantics)
@@ -584,6 +626,7 @@ def p3m_acc(
     precise: bool = False,
     tgt_mask: jax.Array | None = None,
     pp_chunk: int | None = None,
+    pp_compact: int | None = None,
 ) -> jax.Array:
     """Accelerations on targets: tapered particle-mesh far field + exact
     short-range pair correction + direct-sum override for the
@@ -597,6 +640,19 @@ def p3m_acc(
     empty: measured 1.09x on the full PP stage at N=1M
     (scripts/tune_r3g_pp_skip.py). Ignored unless it divides gc².
 
+    ``pp_compact``: additionally compact the active cells into a static
+    ``pp_compact``-row panel and run the (chunked) pair map over that panel
+    only — the chunk skip's win is bounded by chunk granularity, the
+    compaction's isn't. A ``lax.cond`` falls back to the full chunked map
+    whenever the active-cell count exceeds ``pp_compact``, so results are
+    exact at any setting; only speed depends on occupancy. Measured
+    (scripts/tune_r3i_pp_compact.py, N=1M/4gal, pp_compact=gc²/4): isolated
+    PP stage 80.5 → 70.4 ms vs the chunk skip. Requires ``pp_chunk`` and
+    must be a multiple of it; ignored otherwise (or when >= gc²). Grad
+    caveat matches ``pp_chunk``: sources with exactly zero gm in a dropped
+    cell get zero mass-gradient, so the autodiff rollouts leave both off by
+    default.
+
     Padded target rows (``tgt_mask`` = 0, origin-pinned) are excluded from
     the adaptive box; they may consume target-cell slots near the origin but
     sort after real rows (stable order), so they overflow first. Their
@@ -608,7 +664,7 @@ def p3m_acc(
     return p3m_acc_from_bins(
         bins, tgt_pos, tgt_radius, src_pos, src_gm, softening,
         grid=grid, rc_cells=rc_cells, cell_capacity=cell_capacity,
-        precise=precise, pp_chunk=pp_chunk)
+        precise=precise, pp_chunk=pp_chunk, pp_compact=pp_compact)
 
 
 def p3m_bins(
@@ -669,6 +725,7 @@ def p3m_acc_from_bins(
     grid: int, rc_cells: int, cell_capacity: int,
     precise: bool = False,
     pp_chunk: int | None = None,
+    pp_compact: int | None = None,
 ):
     """P³M accelerations with a frozen spatial structure (see
     :func:`p3m_bins`). With bins built from the same positions this is
@@ -703,7 +760,7 @@ def p3m_acc_from_bins(
         tgt_pos, tgt_radius, src_blocks,
         bins["order_t"], bins["cid_t"], bins["rank_t"], bins["counts_t"],
         bins["rank_t"], gc, cap, rc, eps2, precise,
-        pack_t=pack_t, unpack=unpack, chunk=pp_chunk)
+        pack_t=pack_t, unpack=unpack, chunk=pp_chunk, compact=pp_compact)
 
     big = bins["big"]
     if big.shape[0]:

@@ -168,7 +168,8 @@ def _grid_device_loop(pos, vel, acc, radius, gm_row, valid, dt, n, *,
         return p3m_acc_collective_from_bins(
             bins, p, radius, gm_row, softening=config.pm_softening,
             precise=config.precise,
-            pp_chunk=config.p3m_pp_chunk or None, **kw) * valid
+            pp_chunk=config.p3m_pp_chunk or None,
+            pp_compact=config.p3m_pp_compact or None, **kw) * valid
 
     k = config.p3m_rebin_interval
 

@@ -270,7 +270,8 @@ def _force(
                 rc_cells=config.p3m_rc_cells,
                 cell_capacity=config.p3m_cell_capacity,
                 precise=config.precise,
-                pp_chunk=config.p3m_pp_chunk or None)
+                pp_chunk=config.p3m_pp_chunk or None,
+                pp_compact=config.p3m_pp_compact or None)
         from .ops.p3m_forces import p3m_acc
 
         return p3m_acc(state.pos, state.radius, src_pos, src_gm,
@@ -279,7 +280,8 @@ def _force(
                        cell_capacity=config.p3m_cell_capacity,
                        exact_targets=config.p3m_exact_targets,
                        precise=config.precise, tgt_mask=valid,
-                       pp_chunk=config.p3m_pp_chunk or None)
+                       pp_chunk=config.p3m_pp_chunk or None,
+                       pp_compact=config.p3m_pp_compact or None)
     raise ValueError(f"unknown backend {backend!r}")
 
 

@@ -473,7 +473,8 @@ def test_config_validation():
         SimConfig(p3m_rebin_interval=0)
 
 
-def _pp_stage(pos, radius, gm, *, grid=256, rc_cells=4, cap=64, chunk=None):
+def _pp_stage(pos, radius, gm, *, grid=256, rc_cells=4, cap=64, chunk=None,
+              compact=None):
     """The isolated PP correction stage, as p3m_acc_from_bins wires it."""
     from nbody_tpu.ops.p3m_forces import _pack_source_blocks, _pp_apply
     from nbody_tpu.ops.pm_forces import _bounds, _box
@@ -487,7 +488,7 @@ def _pp_stage(pos, radius, gm, *, grid=256, rc_cells=4, cap=64, chunk=None):
     order_t, cid_t, rank_t, counts_t = _cell_pack(pos, lo, inv_c, gc)
     return _pp_apply(pos, radius, blocks, order_t, cid_t, rank_t, counts_t,
                      rank_t, gc, cap, rc_cells * h, jnp.float32(4.0), False,
-                     chunk=chunk)
+                     chunk=chunk, compact=compact)
 
 
 @pytest.mark.smoke
@@ -586,3 +587,96 @@ def test_public_p3m_acc_accepts_pp_chunk():
                             pp_chunk=16))
     scale = np.abs(a0).max() + 1e-30
     assert np.abs(a1 - a0).max() / scale < 1e-6
+
+
+@pytest.mark.smoke
+def test_pp_compact_bit_matches_row_map():
+    """Active-cell compaction is exact in BOTH cond arms: with a panel big
+    enough for every active cell the compacted map's routed-back blocks are
+    bit-identical to the row map (zero-sentinel rows only ever replace
+    exactly-zero corrections), and with a panel too small the lax.cond
+    falls back to the full chunked map — also bit-identical."""
+    scene = nb.make_galaxies(4096, 3, seed=7)
+    w = nb.create_world(scene)
+    pos = w.state.pos[: w.total_len]
+    rad = w.state.radius[: w.total_len]
+    gm = jnp.zeros(w.total_len).at[: w.mass_len].set(w.gm[: w.mass_len])
+
+    ref = np.asarray(_pp_stage(pos, rad, gm))
+    # gc = 64 -> 4096 cells; 1024-row panel comfortably holds the actives
+    engaged = np.asarray(_pp_stage(pos, rad, gm, chunk=16, compact=1024))
+    np.testing.assert_array_equal(engaged, ref)
+    # 16-row panel overflows -> cond picks the full chunked map
+    fallback = np.asarray(_pp_stage(pos, rad, gm, chunk=16, compact=16))
+    np.testing.assert_array_equal(fallback, ref)
+    # compact without chunk, not a multiple of chunk, or >= gc² is ignored
+    for chunk, compact in ((None, 1024), (16, 24), (16, 4096)):
+        got = np.asarray(_pp_stage(pos, rad, gm, chunk=chunk,
+                                   compact=compact))
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_world_pp_compact_trajectory_matches_off():
+    """End-to-end: a p3m world with p3m_pp_compact tracks the default
+    trajectory to fp32 fusion noise, including the frozen-bins rebin path
+    (the compacted map contributes bit-identical corrections; different
+    executables fuse ~1 ulp differently elsewhere)."""
+    scene = nb.make_galaxies(2048, 2, seed=5)
+    outs = []
+    for compact in (512, 0):
+        for rebin in (1, 4):
+            cfg = SimConfig(p3m_pp_chunk=64, p3m_pp_compact=compact,
+                            pm_grid=256, p3m_rebin_interval=rebin)
+            w = nb.create_world(scene, config=cfg, default_backend="p3m")
+            w.update(0.01, 8)
+            outs.append(np.asarray(w.state.pos))
+    scale = np.abs(outs[2]).max()
+    np.testing.assert_allclose(outs[0], outs[2], atol=1e-5 * scale)
+    np.testing.assert_allclose(outs[1], outs[3], atol=1e-5 * scale)
+
+
+def test_sharded_p3m_pp_compact_matches_single():
+    """The compaction runs per shard inside shard_map (local target counts,
+    merged global sources); a compacted sharded world must track the
+    single-chip compacted world like the other sharded p3m paths."""
+    from nbody_tpu.parallel.sharding import ShardedWorld, make_mesh
+
+    scene = nb.make_galaxies(512, 1, seed=3)
+    cfg = SimConfig(tile_targets=64, pm_grid=128, p3m_cell_capacity=32,
+                    p3m_pp_chunk=16, p3m_pp_compact=256)
+    sw = ShardedWorld(scene, make_mesh(4), config=cfg, force_backend="p3m")
+    w = nb.create_world(scene, config=cfg, default_backend="p3m")
+    sw.update(0.01, 4)
+    w.update(0.01, 4)
+    np.testing.assert_allclose(
+        np.asarray(sw.particles.pos), np.asarray(w.particles.pos),
+        rtol=3e-4, atol=3e-3)
+
+
+def test_pp_compact_gradients_match():
+    """Reverse-mode AD through the compaction (cond + routed gathers) must
+    agree with the row-map gradients when the compact arm engages."""
+    scene = nb.make_galaxies(512, 2, seed=3)
+    w = nb.create_world(scene)
+    pos = w.state.pos[: w.total_len]
+    rad = w.state.radius[: w.total_len]
+    gm = jnp.zeros(w.total_len).at[: w.mass_len].set(w.gm[: w.mass_len])
+
+    def loss(p, chunk, compact):
+        return jnp.sum(
+            _pp_stage(p, rad, gm, grid=64, chunk=chunk, compact=compact) ** 2)
+
+    # panel 128 > the scene's ~67 active cells, so the compact arm engages
+    # (the fallback arm's grads are covered by the chunk tests)
+    g_ref = np.asarray(jax.grad(lambda p: loss(p, None, None))(pos))
+    g_cmp = np.asarray(jax.grad(lambda p: loss(p, 16, 128))(pos))
+    np.testing.assert_allclose(g_cmp, g_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_pp_compact_config_validation():
+    with pytest.raises(ValueError, match="p3m_pp_compact"):
+        SimConfig(p3m_pp_compact=-1)
+    with pytest.raises(ValueError, match="requires p3m_pp_chunk"):
+        SimConfig(p3m_pp_chunk=0, p3m_pp_compact=512)
+    with pytest.raises(ValueError, match="multiple of p3m_pp_chunk"):
+        SimConfig(p3m_pp_chunk=64, p3m_pp_compact=96)
