@@ -103,6 +103,46 @@ def angular_momentum(state: Particles) -> jax.Array:
     return jnp.sum(state.mass * (x * vy - y * vx))
 
 
+def observables_capture(mass_len: int, *, energy: str | None = "exact",
+                        pe_chunk: int = 1024, pm_grid: int = 512,
+                        pm_softening: float = 2.0):
+    """Build a per-frame capture function for
+    :func:`nbody_tpu.trajectory.record_states`: conserved-quantity time
+    series streamed out of the jitted capture scan at O(scalars)/frame host
+    traffic instead of O(N) position frames (the reference copies the whole
+    particle array to the host every rendered frame, main.c:237-250, and
+    exposes no observables at all).
+
+    Returns ``(Particles, gm) -> dict`` with keys ``kinetic``,
+    ``momentum`` (2,), ``angular_momentum``, ``center_of_mass`` (2,) and —
+    when ``energy`` is not None — ``potential``. ``energy="exact"`` uses the
+    O(N·M) pair sum (fine to ~100k); ``energy="pm"`` uses the mesh estimate
+    (O(N + G²logG), the only affordable choice at pm/p3m scale). The capture
+    runs *inside* the scan, so an exact-energy capture every k substeps adds
+    one fused N·M pass per frame — no extra host round-trips, no extra
+    launches. Reuse the returned function object across calls (it is a
+    static jit argument, like ``extra_force``)."""
+    if energy not in (None, "exact", "pm"):
+        raise ValueError(f"energy must be None|'exact'|'pm', got {energy!r}")
+
+    def capture(st: Particles, gm) -> dict:
+        del gm  # mass changes (merging) are reflected in st.mass already
+        out = {
+            "kinetic": kinetic_energy(st),
+            "momentum": total_momentum(st),
+            "angular_momentum": angular_momentum(st),
+            "center_of_mass": center_of_mass(st),
+        }
+        if energy == "exact":
+            out["potential"] = potential_energy(st, mass_len, chunk=pe_chunk)
+        elif energy == "pm":
+            out["potential"] = potential_energy_pm(
+                st, mass_len, grid=pm_grid, softening=pm_softening)
+        return out
+
+    return capture
+
+
 def criterion_dt(acc: jax.Array, radius: jax.Array, eta) -> jax.Array:
     """The softening-resolution criterion on raw arrays:
     eta · min_i sqrt(eps_i / |a_i|) with eps_i = sqrt(radius_i); +inf for a

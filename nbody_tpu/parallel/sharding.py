@@ -291,6 +291,12 @@ def _adaptive_while(one, pos, vel, acc, radius, t_span, eta, dt_min, dt_max):
     return pos, vel, acc, k
 
 
+def _pos_capture(st, gm):
+    """Default per-frame capture: positions (trajectory recording)."""
+    del gm
+    return st.pos
+
+
 def _build_merging_fns(mstep):
     """Jitted (update, adaptive, record) triple for a merging world, built
     from ``mstep(pos, vel, acc, radius, mass, gm, valid, dt)`` — the
@@ -308,13 +314,19 @@ def _build_merging_fns(mstep):
         return jax.lax.fori_loop(0, n, body,
                                  (pos, vel, acc, radius, mass, gm))
 
-    @functools.partial(jax.jit, static_argnames=("frames", "steps"),
+    @functools.partial(jax.jit,
+                       static_argnames=("frames", "steps", "capture"),
                        donate_argnums=(0, 1, 2, 3, 4, 5))
-    def record(pos, vel, acc, radius, mass, gm, valid, dt, *, frames, steps):
+    def record(pos, vel, acc, radius, mass, gm, valid, dt, *, frames, steps,
+               capture=None):
+        cap = capture if capture is not None else _pos_capture
+
         def frame_body(c, _):
             c = jax.lax.fori_loop(
                 0, steps, lambda _, cc: mstep(*cc, valid, dt), c)
-            return c, c[0]
+            st = Particles(pos=c[0], vel=c[1], acc=c[2], mass=c[4],
+                           radius=c[3])
+            return c, cap(st, c[5])
 
         return jax.lax.scan(frame_body, (pos, vel, acc, radius, mass, gm),
                             None, length=frames)
@@ -566,16 +578,21 @@ class ShardedWorld:
 
                 return _build_merging_fns(mstep)
 
-            @functools.partial(jax.jit, static_argnames=("frames", "steps"),
-                               donate_argnums=(0, 1, 2))
-            def record_run(pos, vel, acc, radius, gm_src, valid, dt, *,
-                           frames, steps):
+            @functools.partial(
+                jax.jit, static_argnames=("frames", "steps", "capture"),
+                donate_argnums=(0, 1, 2))
+            def record_run(pos, vel, acc, radius, mass, gm_src, valid, dt,
+                           *, frames, steps, capture=None):
+                cap = capture if capture is not None else _pos_capture
+
                 def frame_body(carry, _):
                     pos, vel, acc = carry
                     pos, vel, acc = smapped_loop(
                         pos, vel, acc, radius, gm_src, valid, dt,
                         jnp.int32(steps))
-                    return (pos, vel, acc), pos
+                    st = Particles(pos=pos, vel=vel, acc=acc, mass=mass,
+                                   radius=radius)
+                    return (pos, vel, acc), cap(st, gm_src)
 
                 return jax.lax.scan(frame_body, (pos, vel, acc), None,
                                     length=frames)
@@ -703,17 +720,22 @@ class ShardedWorld:
 
             return _build_merging_fns(mstep)
 
-        @functools.partial(jax.jit, static_argnames=("frames", "steps"),
-                           donate_argnums=(0, 1, 2))
-        def record_run(pos, vel, acc, radius, gm_src, valid, dt, *,
-                       frames, steps):
+        @functools.partial(
+            jax.jit, static_argnames=("frames", "steps", "capture"),
+            donate_argnums=(0, 1, 2))
+        def record_run(pos, vel, acc, radius, mass, gm_src, valid, dt, *,
+                       frames, steps, capture=None):
+            cap = capture if capture is not None else _pos_capture
+
             def frame_body(carry, _):
                 pos, vel, acc = carry
                 pos, vel, acc = jax.lax.fori_loop(
                     0, steps,
                     lambda _, c: substep(*c, radius, gm_src, valid, dt),
                     (pos, vel, acc))
-                return (pos, vel, acc), pos
+                st = Particles(pos=pos, vel=vel, acc=acc, mass=mass,
+                               radius=radius)
+                return (pos, vel, acc), cap(st, gm_src)
 
             return jax.lax.scan(frame_body, (pos, vel, acc), None,
                                 length=frames)
@@ -769,11 +791,62 @@ class ShardedWorld:
                 steps=steps_per_frame)
         else:
             (self.pos, self.vel, self.acc), traj = run(
-                self.pos, self.vel, self.acc, self.radius, self.gm_src,
-                self.valid, jnp.float32(dt), frames=frames,
+                self.pos, self.vel, self.acc, self.radius, self.mass,
+                self.gm_src, self.valid, jnp.float32(dt), frames=frames,
                 steps=steps_per_frame)
         self._host_cache = None
         return np.asarray(traj[:, : self.total_len, :])
+
+    def record_observables(self, dt: float, frames: int,
+                           steps_per_frame: int = 1, extra_force=None,
+                           energy: str | None = "exact", capture=None,
+                           **capture_kw) -> dict:
+        """Sharded observable streaming: the multi-chip analogue of
+        :func:`nbody_tpu.trajectory.record_observables`. Per frame the hosts
+        receive a handful of scalars (kinetic/potential energy, momentum,
+        angular momentum, center of mass) computed ON the sharded arrays
+        inside the same jitted capture scan as :meth:`record` — XLA/GSPMD
+        turns the reductions into cross-device collectives, so host traffic
+        is O(scalars)/frame regardless of N or mesh size. ``energy`` picks
+        the potential estimator (``"exact"`` pair sum — GSPMD gathers the
+        massive prefix, affordable to ~100k; ``"pm"`` mesh estimate for
+        large N; ``None``). A custom ``capture(state, gm) -> pytree``
+        overrides the default set; note ``gm`` is the backend's native gm
+        layout (massive-prefix slice on ring backends, per-target row on
+        pm/p3m) — prefer ``state.mass``. Advances the world's state; returns
+        host numpy series keyed by observable, plus ``"time"``."""
+        from ..diagnostics import observables_capture
+
+        if capture is None:
+            capture = observables_capture(self.mass_len, energy=energy,
+                                          **capture_kw)
+        if extra_force is None:
+            run = self._record_fn
+        else:
+            if self._hooked_key is not extra_force:
+                (self._hooked_fn, self._hooked_adaptive,
+                 self._hooked_record) = self._build_update(
+                    extra_force=extra_force, set_aux=False)
+                self._hooked_key = extra_force
+            run = self._hooked_record
+
+        if self.config.merge_collisions:
+            (self.pos, self.vel, self.acc, self.radius, self.mass,
+             self.gm_src), series = run(
+                self.pos, self.vel, self.acc, self.radius, self.mass,
+                self.gm_src, self.valid, jnp.float32(dt), frames=frames,
+                steps=steps_per_frame, capture=capture)
+        else:
+            (self.pos, self.vel, self.acc), series = run(
+                self.pos, self.vel, self.acc, self.radius, self.mass,
+                self.gm_src, self.valid, jnp.float32(dt), frames=frames,
+                steps=steps_per_frame, capture=capture)
+        self._host_cache = None
+        series = jax.tree.map(np.asarray, series)
+        out = dict(series) if isinstance(series, dict) else {"capture": series}
+        out["time"] = (np.arange(1, frames + 1, dtype=np.float64)
+                       * steps_per_frame * dt)
+        return out
 
     def update(self, dt: float, n: int = 1,
                extra_force=None) -> "ShardedWorld":

@@ -23,7 +23,7 @@ from .world import World, _step
 @functools.partial(
     jax.jit,
     static_argnames=("frames", "steps_per_frame", "src_len", "config",
-                     "backend", "extra_force"),
+                     "backend", "extra_force", "capture"),
     donate_argnums=(0,),
 )
 def record_states(
@@ -38,12 +38,19 @@ def record_states(
     config: SimConfig,
     backend: str,
     extra_force=None,
+    capture=None,
 ):
     """Run frames*steps_per_frame substeps; return
-    (final_state, final_gm, pos_frames) where pos_frames has shape
-    (frames, N_pad, 2). ``gm`` only changes under
-    ``config.merge_collisions`` (absorbed sources go inert); it is
-    returned in every branch so callers have one contract."""
+    (final_state, final_gm, frames_out) where frames_out stacks
+    ``capture(state, gm)`` once per frame along a new leading axis
+    (default capture: positions, so frames_out is (frames, N_pad, 2)).
+    ``gm`` only changes under ``config.merge_collisions`` (absorbed
+    sources go inert); it is returned in every branch so callers have
+    one contract. ``capture`` must be a jit-traceable
+    ``(Particles, gm) -> pytree``; like ``extra_force`` it is a static
+    argument, so reuse one function object across calls to avoid
+    recompiles."""
+    cap = capture if capture is not None else (lambda st, gm_: st.pos)
     body = functools.partial(
         _step, gm=gm, valid=valid, dt=dt,
         src_len=src_len, config=config, backend=backend, interpret=None,
@@ -61,7 +68,7 @@ def record_states(
         def frame_body(carry, _):
             carry = jax.lax.fori_loop(
                 0, steps_per_frame, lambda _, c: sub(c, dt), carry)
-            return carry, carry[0].pos
+            return carry, cap(*carry)
 
         (st, gm), traj = jax.lax.scan(frame_body, (state, gm), None,
                                       length=frames)
@@ -84,7 +91,7 @@ def record_states(
             st, bins = p3m_substep_loop(
                 st, bins, f * steps_per_frame, steps_per_frame, body,
                 bins_of, k)
-            return (st, bins), st.pos
+            return (st, bins), cap(st, gm)
 
         (st, _), traj = jax.lax.scan(
             frame_body, (state, bins_of(state)),
@@ -93,7 +100,7 @@ def record_states(
 
     def frame_body(st, _):
         st = jax.lax.fori_loop(0, steps_per_frame, lambda _, s: body(s), st)
-        return st, st.pos
+        return st, cap(st, gm)
 
     st, traj = jax.lax.scan(frame_body, state, None, length=frames)
     return st, gm, traj
@@ -127,6 +134,56 @@ def record_trajectory(
     world.gm = gm
     world._host_cache = None
     return np.asarray(traj[:, : world.total_len, :])
+
+
+def record_observables(
+    world: World,
+    dt: float,
+    frames: int,
+    steps_per_frame: int = 1,
+    backend: str | None = None,
+    extra_force=None,
+    energy: str | None = "exact",
+    capture=None,
+    **capture_kw,
+) -> dict:
+    """Advance `world` by frames*steps_per_frame substeps, streaming
+    conserved-quantity time series out of ONE jitted scan: per frame the
+    host receives a handful of scalars (kinetic/potential energy, momentum,
+    angular momentum, center of mass) instead of an (N, 2) position frame —
+    the O(1)-per-frame companion to :func:`record_trajectory` for
+    long-horizon drift monitoring at large N. ``energy`` picks the
+    potential estimator (``"exact"`` pair sum / ``"pm"`` mesh / ``None``);
+    a custom ``capture(state, gm) -> pytree`` overrides the default set
+    entirely (see :func:`nbody_tpu.diagnostics.observables_capture`).
+    Returns host numpy arrays keyed by observable, plus ``"time"``
+    (the simulation time at each captured frame, starting after the first
+    frame's substeps). The world's state is updated."""
+    from .diagnostics import observables_capture
+    from .world import effective_src_len, resolve_backend
+
+    backend = resolve_backend(backend or world.default_backend,
+                              world.total_len, world.mass_len,
+                              merging=world.config.merge_collisions)
+    if capture is None:
+        capture = observables_capture(world.mass_len, energy=energy,
+                                      **capture_kw)
+
+    state, gm, series = record_states(
+        world.state, world.gm, world.valid, jnp.float32(dt),
+        frames=frames, steps_per_frame=steps_per_frame,
+        src_len=effective_src_len(backend, world.src_len, world.mass_len),
+        config=world.config, backend=backend, extra_force=extra_force,
+        capture=capture,
+    )
+    world.state = state
+    world.gm = gm
+    world._host_cache = None
+    series = jax.tree.map(np.asarray, series)
+    out = dict(series) if isinstance(series, dict) else {"capture": series}
+    out["time"] = (np.arange(1, frames + 1, dtype=np.float64)
+                   * steps_per_frame * dt)
+    return out
 
 
 def record_trajectory_sharded(

@@ -57,6 +57,7 @@ SMOKE = {
     "test_golden.py::test_golden_scene_regeneration",
     "test_integrators.py::test_default_is_euler_reference_semantics",
     "test_invariants.py::test_two_body_circular_orbit",
+    "test_observables.py::test_custom_capture",
     "test_p3m.py::test_close_pair_is_reference_exact",
     "test_p3m.py::test_config_validation",
     "test_physics_validation.py::test_default_math_vs_sqrt_oracle_short",
