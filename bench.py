@@ -116,6 +116,45 @@ def run_sharded(args) -> None:
         f"({sw.total_len * sw.mass_len / (us / 1e6) / d:.3e} pairs/s/chip)")
 
 
+def ring_virtual8(n: int = 16384, iters: int = 8,
+                  timeout: float = 900.0) -> dict:
+    """Time the ring-sharded update on an 8-virtual-device CPU mesh in a
+    subprocess (the in-process backend may already be TPU). A regression in
+    parallel/sharding.py's ring loop moves this number round-over-round —
+    before round 4 the driver artifact gated only the single-chip jnp path."""
+    code = (
+        "import json, time\n"
+        # This image preimports jax at interpreter startup (sitecustomize),
+        # so JAX_PLATFORMS/XLA_FLAGS in the child env are too late; backends
+        # initialize lazily, so jax.config.update still wins (tests/conftest
+        # does the same).
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "jax.config.update('jax_num_cpu_devices', 8)\n"
+        "import nbody_tpu as nb\n"
+        "from nbody_tpu.parallel import ShardedWorld, make_mesh\n"
+        f"scene = nb.make_galaxies({n}, 2, seed={SEED})\n"
+        "mesh = make_mesh()\n"
+        "sw = ShardedWorld(scene, mesh)\n"
+        "sw.update(1.0, 2); sw.block_until_ready()\n"
+        "t0 = time.perf_counter()\n"
+        f"sw.update(1.0, {iters}); sw.block_until_ready()\n"
+        f"us = (time.perf_counter() - t0) / {iters} * 1e6\n"
+        "print(json.dumps({'us_per_step': us,\n"
+        "                  'devices': int(mesh.devices.size),\n"
+        "                  'force_backend': sw.force_backend,\n"
+        f"                  'n': {n}}}))\n"
+    )
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, timeout=timeout)
+        if r.returncode != 0:
+            return {"error": r.stderr.decode(errors="replace").strip()[-200:]}
+        return json.loads(r.stdout.decode().strip().splitlines()[-1])
+    except subprocess.TimeoutExpired:
+        return {"error": f"timed out > {timeout:.0f}s"}
+
+
 def run_primary(args) -> dict:
     n = args.n
     w = make_world(n)
@@ -133,12 +172,36 @@ def run_primary(args) -> dict:
     rate = pairs / (us / 1e6)
     log(f"primary: N={n} mass_len={w.mass_len} padded={w.n_pad}x{w.src_len} "
         f"backend={args.backend} best-of-{args.repeats} {us:.1f} µs/step {rate:.3e} pairs/s")
-    return {
+    result = {
         "metric": f"pair_interactions_per_sec_per_chip_n{n}",
         "value": rate,
         "unit": "pairs/s",
         "vs_baseline": rate / 1e11,
+        "primary_backend": backend,
+        "primary_us_per_step": us,
     }
+    if not args.no_kernel_gates:
+        # Gate the Pallas kernel in the driver artifact too (the primary may
+        # resolve to jnp): a kernel regression becomes visible in
+        # BENCH_r{N}.json round-over-round, like bench.c:25-35 measuring
+        # both reference backends.
+        if backend == "pallas":
+            pus = us
+        else:
+            reps = max(2, args.repeats // 2)
+            pus = min(
+                bench_world(w, "pallas", args.iters,
+                            args.warmup if r == 0 else 0)
+                for r in range(reps)
+            )
+        result["pallas_us_per_step"] = pus
+        result["pallas_pairs_per_sec"] = pairs / (pus / 1e6)
+        log(f"pallas kernel: {pus:.1f} µs/step "
+            f"{result['pallas_pairs_per_sec']:.3e} pairs/s")
+        ring = ring_virtual8()
+        result["ring_virtual8"] = ring
+        log(f"ring virtual-8: {ring}")
+    return result
 
 
 def device_probe(timeout: float, attempts: int, interval: float = 60.0,
@@ -189,6 +252,9 @@ def main():
                          "size-based choice)")
     ap.add_argument("--sharded", action="store_true",
                     help="also time the ring-sharded world over all devices")
+    ap.add_argument("--no-kernel-gates", action="store_true",
+                    help="skip the pallas-kernel and virtual-8-ring gate "
+                         "records in the primary JSON line")
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="capture a jax.profiler trace of the primary run "
                          "into DIR (view in TensorBoard/Perfetto)")

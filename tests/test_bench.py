@@ -22,19 +22,53 @@ def test_primary_json_contract(capsys):
         warmup = 1
         repeats = 1
         backend = "jnp"
+        no_kernel_gates = True
 
     result = bench.run_primary(Args())
-    assert set(result) == {"metric", "value", "unit", "vs_baseline"}
+    assert set(result) == {"metric", "value", "unit", "vs_baseline",
+                           "primary_backend", "primary_us_per_step"}
     assert result["unit"] == "pairs/s"
     assert result["value"] > 0
     assert result["vs_baseline"] == result["value"] / 1e11
     json.dumps(result)  # serializable
 
 
+def test_primary_kernel_gate_records(capsys):
+    """With gates on, the primary record carries the pallas-kernel number
+    (VERDICT r3: a kernel regression must move a driver artifact). The ring
+    gate is exercised separately (test_ring_virtual8_gate)."""
+    class Args:
+        n = 250
+        iters = 2
+        warmup = 1
+        repeats = 1
+        backend = "pallas"  # primary == pallas -> kernel number reused
+        no_kernel_gates = False
+
+    import unittest.mock
+    with unittest.mock.patch.object(bench, "ring_virtual8",
+                                    return_value={"skipped": True}):
+        result = bench.run_primary(Args())
+    assert result["pallas_us_per_step"] == result["primary_us_per_step"]
+    assert result["pallas_pairs_per_sec"] > 0
+    assert result["ring_virtual8"] == {"skipped": True}
+    json.dumps(result)
+
+
+def test_ring_virtual8_gate():
+    """The virtual-8 ring gate measures the sharded update in a CPU
+    subprocess and returns a well-formed record."""
+    rec = bench.ring_virtual8(n=1024, iters=2, timeout=600)
+    assert "error" not in rec, rec
+    assert rec["us_per_step"] > 0 and rec["devices"] == 8
+    json.dumps(rec)
+
+
 def test_cli_emits_single_json_line():
     out = subprocess.run(
         [sys.executable, "bench.py", "--n", "250", "--iters", "2",
-         "--warmup", "1", "--repeats", "1", "--backend", "jnp"],
+         "--warmup", "1", "--repeats", "1", "--backend", "jnp",
+         "--no-kernel-gates"],
         capture_output=True, text=True, timeout=300,
         env={"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin"},
         cwd=".",
@@ -54,7 +88,7 @@ def test_cli_platform_flag_forces_cpu():
     out = subprocess.run(
         [sys.executable, "bench.py", "--platform", "cpu", "--n", "250",
          "--iters", "2", "--warmup", "1", "--repeats", "1",
-         "--backend", "jnp"],
+         "--backend", "jnp", "--no-kernel-gates"],
         capture_output=True, text=True, timeout=600, cwd=".",
     )
     assert out.returncode == 0, out.stderr[-500:]
@@ -92,7 +126,7 @@ def test_cli_profile_flag_writes_trace(tmp_path):
     out = subprocess.run(
         [sys.executable, "bench.py", "--n", "250", "--iters", "2",
          "--warmup", "1", "--repeats", "1", "--backend", "jnp",
-         "--profile", d],
+         "--no-kernel-gates", "--profile", d],
         capture_output=True, text=True, timeout=300,
         env={"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin"},
         cwd=".",
