@@ -81,18 +81,22 @@ AUTO_P3M_MIN_PAIRS = 16_000_000_000
 
 
 def resolve_backend(backend: "Backend", total_len: int,
-                    mass_len: int, *, merging: bool = False) -> "Backend":
+                    mass_len: int, *, merging: bool = False,
+                    rebin_interval: int = 1) -> "Backend":
     """Resolve ``"auto"`` to the faster backend of equivalent accuracy at
     this problem size; every concrete backend passes through unchanged.
-    Under ``merging`` (SimConfig.merge_collisions) the above-crossover
-    choice is ``pm`` instead of ``p3m`` — p3m's frozen cell blocks cannot
-    carry mid-loop mass changes, and pm is the merge-capable backend that
-    still scales past the direct-sum crossover."""
+    Under ``merging`` (SimConfig.merge_collisions) p3m remains the
+    above-crossover choice at the default ``p3m_rebin_interval == 1``
+    (bins rebuild every substep, so the carried gm/radius feed each build
+    fresh — see :func:`merging_substep_fn`); only with ``rebin_interval >
+    1`` do frozen cell blocks genuinely conflict with mid-loop mass
+    changes, and ``pm`` — merge-capable at any interval — is picked
+    instead."""
     if backend != "auto":
         return backend
     if total_len * mass_len <= AUTO_P3M_MIN_PAIRS:
         return "jnp"
-    return "pm" if merging else "p3m"
+    return "pm" if (merging and rebin_interval > 1) else "p3m"
 
 
 def source_pad_len(mass_len: int, tile_sources: int) -> int:
@@ -412,8 +416,12 @@ def update_state_merging(
     (ops/collisions.merge_pass), and ``gm`` — the G-premultiplied source
     row every backend reads — becomes carried state. Returns (state, gm).
 
-    p3m is rejected here (its frozen gm-derived cell blocks would go stale
-    mid-loop); jnp / pallas / pm read ``gm`` fresh each substep."""
+    jnp / pallas / pm read ``gm`` fresh each substep. p3m works at the
+    default ``p3m_rebin_interval == 1``: without frozen bins the per-substep
+    ``p3m_acc`` rebuilds its cell blocks (and the exact-core top_k, whose
+    radii also change under merging) from the carried state — only
+    ``p3m_rebin_interval > 1`` has a genuine staleness conflict and is
+    rejected."""
     sub = merging_substep_fn(valid, src_len=src_len, config=config,
                              backend=backend, interpret=interpret,
                              extra_force=extra_force)
@@ -429,10 +437,12 @@ def merging_substep_fn(valid, *, src_len: int, config: SimConfig,
     (dt per call, so adaptive stepping can vary it)."""
     from .ops.collisions import merge_pass
 
-    if backend == "p3m":
+    if backend == "p3m" and config.p3m_rebin_interval > 1:
         raise ValueError(
-            "merge_collisions is not supported with backend='p3m' (frozen "
-            "cell blocks); use 'jnp', 'pallas', or 'pm'")
+            "merge_collisions with backend='p3m' requires "
+            "p3m_rebin_interval == 1 (frozen cell blocks cannot carry "
+            f"mid-loop mass changes); got {config.p3m_rebin_interval} — "
+            "use rebin interval 1, or the 'pm' backend")
 
     def sub(carry, dt):
         st, gm = carry
@@ -574,7 +584,8 @@ class World:
         if default_backend is None:
             default_backend = default_backend_for(n)
         self.default_backend: Backend = resolve_backend(
-            default_backend, n, mass_len, merging=config.merge_collisions)
+            default_backend, n, mass_len, merging=config.merge_collisions,
+            rebin_interval=config.p3m_rebin_interval)
         self._host_cache: Particles | None = None
 
     # -- update ---------------------------------------------------------
@@ -586,9 +597,10 @@ class World:
         same function object across calls."""
         if n <= 0:
             return self
-        backend = resolve_backend(backend or self.default_backend,
-                                  self.total_len, self.mass_len,
-                                  merging=self.config.merge_collisions)
+        backend = resolve_backend(
+            backend or self.default_backend, self.total_len, self.mass_len,
+            merging=self.config.merge_collisions,
+            rebin_interval=self.config.p3m_rebin_interval)
         kwargs = dict(
             src_len=effective_src_len(backend, self.src_len, self.mass_len),
             config=self.config, backend=backend, extra_force=extra_force,
@@ -611,9 +623,10 @@ class World:
         adaptive dt (see :func:`update_state_adaptive`). Returns the number
         of substeps taken. Composes with ``merge_collisions`` and
         ``extra_force``; forward-only (lax.while_loop)."""
-        backend = resolve_backend(backend or self.default_backend,
-                                  self.total_len, self.mass_len,
-                                  merging=self.config.merge_collisions)
+        backend = resolve_backend(
+            backend or self.default_backend, self.total_len, self.mass_len,
+            merging=self.config.merge_collisions,
+            rebin_interval=self.config.p3m_rebin_interval)
         self.state, self.gm, k = update_state_adaptive(
             self.state, self.gm, self.valid, jnp.float32(t_span),
             eta=jnp.float32(eta), dt_min=jnp.float32(dt_min),

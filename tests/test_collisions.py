@@ -113,11 +113,13 @@ def test_merges_conserve_momentum_exactly():
     np.testing.assert_allclose(mom, p0, atol=1e-5)
 
 
-@pytest.mark.parametrize("backend", ["jnp", "pallas", "pm"])
+@pytest.mark.parametrize("backend", ["jnp", "pallas", "pm", "p3m"])
 def test_long_run_with_gravity(backend):
     """Self-gravitating dense cluster: merges happen on every backend,
     mass is conserved, and the gm source row tracks G*mass throughout."""
-    w = _dense_cluster(MERGE)
+    cfg = (dataclasses.replace(MERGE, pm_grid=64)
+           if backend == "p3m" else MERGE)
+    w = _dense_cluster(cfg)
     n = 64
     m0 = float(np.asarray(w.particles.mass).sum())
     w.update(1e-3, 40, backend=backend)
@@ -140,11 +142,42 @@ def test_tracers_never_merge():
     assert (p.mass[1:] == 0.0).all()
 
 
-def test_p3m_rejected():
+def test_p3m_rejected_only_for_stale_bins():
+    """p3m + merging works at rebin interval 1 (bins rebuilt from carried
+    gm/radius every substep); only p3m_rebin_interval > 1 — genuinely stale
+    frozen cell blocks — is rejected (round-4 narrowing, VERDICT r3 #3)."""
+    stale = dataclasses.replace(MERGE, p3m_rebin_interval=4)
     w = _world([[0.0, 0.0], [50.0, 0.0]], mass=[5.0, 3.0],
-               radius=[0.7, 0.7])
+               radius=[0.7, 0.7], config=stale)
     with pytest.raises(ValueError, match="merge_collisions"):
         w.update(DT, 1, backend="p3m")
+
+
+def test_p3m_merging_matches_jnp_at_rebin_1():
+    """Two touching bodies merge identically under p3m and jnp (the merge
+    pass is backend-independent; the p3m force difference at mesh scale
+    cannot flip a contact event), and the carried gm threads into the
+    per-substep bin rebuild — masses/gm stay consistent after the merge."""
+    cfg = dataclasses.replace(MERGE, pm_grid=64)
+
+    def mk():
+        return _world([[0.0, 0.0], [1.0, 0.0], [40.0, 40.0]],
+                      mass=[5.0, 3.0, 2.0], radius=[0.7, 0.7, 0.5],
+                      config=cfg)
+
+    wa, wb = mk(), mk()
+    wa.update(DT, 3, backend="jnp")
+    wb.update(DT, 3, backend="p3m")
+    pa, pb = wa.particles, wb.particles
+    np.testing.assert_allclose(pb.mass, pa.mass)      # same merge outcome
+    assert pa.mass[0] == pytest.approx(8.0) and pa.mass[1] == 0.0
+    # gm row tracks the merged masses on the p3m path
+    gm = np.asarray(wb.gm)[: wb.mass_len]
+    np.testing.assert_allclose(gm, 10.0 * np.asarray(pb.mass)[: wb.mass_len],
+                               rtol=1e-6)
+    # post-merge kinematics agree to p3m mesh tolerance
+    np.testing.assert_allclose(pb.pos, pa.pos, atol=2e-3)
+    np.testing.assert_allclose(pb.vel, pa.vel, atol=2e-3)
 
 
 def test_merge_factor_validation():
@@ -242,7 +275,11 @@ def test_auto_resolution_is_merge_aware():
 
     big = int(np.sqrt(AUTO_P3M_MIN_PAIRS)) * 2
     assert resolve_backend("auto", big, big) == "p3m"
-    assert resolve_backend("auto", big, big, merging=True) == "pm"
+    # rebin=1 (default): p3m is merge-capable (per-substep bin rebuilds)
+    assert resolve_backend("auto", big, big, merging=True) == "p3m"
+    # rebin>1: frozen bins conflict with mid-loop mass changes -> pm
+    assert resolve_backend("auto", big, big, merging=True,
+                           rebin_interval=8) == "pm"
     assert resolve_backend("auto", 1000, 500, merging=True) == "jnp"
 
 
