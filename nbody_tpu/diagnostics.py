@@ -103,6 +103,7 @@ def angular_momentum(state: Particles) -> jax.Array:
     return jnp.sum(state.mass * (x * vy - y * vx))
 
 
+@functools.lru_cache(maxsize=None)
 def observables_capture(mass_len: int, *, energy: str | None = "exact",
                         pe_chunk: int = 1024, pm_grid: int = 512,
                         pm_softening: float = 2.0):
@@ -120,8 +121,11 @@ def observables_capture(mass_len: int, *, energy: str | None = "exact",
     (O(N + G²logG), the only affordable choice at pm/p3m scale). The capture
     runs *inside* the scan, so an exact-energy capture every k substeps adds
     one fused N·M pass per frame — no extra host round-trips, no extra
-    launches. Reuse the returned function object across calls (it is a
-    static jit argument, like ``extra_force``)."""
+    launches. The factory is lru_cached on its arguments, so repeated
+    ``record_observables`` calls with the same settings reuse ONE function
+    object — and therefore ONE compiled executable (``capture`` is a static
+    jit argument, like ``extra_force``; a fresh closure per call would
+    retrace the whole scan, ~1.3 s vs ~0.14 s warm)."""
     if energy not in (None, "exact", "pm"):
         raise ValueError(f"energy must be None|'exact'|'pm', got {energy!r}")
 
@@ -141,6 +145,37 @@ def observables_capture(mass_len: int, *, energy: str | None = "exact",
         return out
 
     return capture
+
+
+def check_observables_args(capture, energy, capture_kw) -> None:
+    """Validate the ``record_observables`` argument contract: a custom
+    ``capture`` replaces the default observable set entirely, so a
+    non-default ``energy`` or stray :func:`observables_capture` kwargs
+    alongside it would be silently ignored — reject them instead."""
+    if capture is not None and (capture_kw or energy != "exact"):
+        raise ValueError(
+            "a custom capture replaces the default observables entirely; "
+            f"energy={energy!r} / extra kwargs {sorted(capture_kw)} would be "
+            "silently ignored — drop them or drop capture")
+
+
+def observables_series_out(series, frames: int, steps_per_frame: int,
+                           dt: float) -> dict:
+    """Captured device series -> the host dict contract shared by the
+    single-chip and sharded ``record_observables``: numpy-ify, key, and
+    append the synthesized ``"time"`` axis. A capture that already produced
+    a ``"time"`` key is rejected rather than silently overwritten."""
+    import numpy as np
+
+    series = jax.tree.map(np.asarray, series)
+    out = dict(series) if isinstance(series, dict) else {"capture": series}
+    if "time" in out:
+        raise ValueError(
+            "capture returned a 'time' key, which collides with the "
+            "synthesized time axis — rename it")
+    out["time"] = (np.arange(1, frames + 1, dtype=np.float64)
+                   * steps_per_frame * dt)
+    return out
 
 
 def criterion_dt(acc: jax.Array, radius: jax.Array, eta) -> jax.Array:

@@ -814,9 +814,17 @@ class ShardedWorld:
         overrides the default set; note ``gm`` is the backend's native gm
         layout (massive-prefix slice on ring backends, per-target row on
         pm/p3m) — prefer ``state.mass``. Advances the world's state; returns
-        host numpy series keyed by observable, plus ``"time"``."""
-        from ..diagnostics import observables_capture
+        host numpy series keyed by observable, plus ``"time"``. ``energy`` /
+        ``**capture_kw`` configure the default set and are rejected
+        alongside a custom ``capture``; the default capture is lru_cached
+        per settings so repeated calls reuse one compiled scan."""
+        from ..diagnostics import (
+            check_observables_args,
+            observables_capture,
+            observables_series_out,
+        )
 
+        check_observables_args(capture, energy, capture_kw)
         if capture is None:
             capture = observables_capture(self.mass_len, energy=energy,
                                           **capture_kw)
@@ -842,11 +850,7 @@ class ShardedWorld:
                 self.gm_src, self.valid, jnp.float32(dt), frames=frames,
                 steps=steps_per_frame, capture=capture)
         self._host_cache = None
-        series = jax.tree.map(np.asarray, series)
-        out = dict(series) if isinstance(series, dict) else {"capture": series}
-        out["time"] = (np.arange(1, frames + 1, dtype=np.float64)
-                       * steps_per_frame * dt)
-        return out
+        return observables_series_out(series, frames, steps_per_frame, dt)
 
     def update(self, dt: float, n: int = 1,
                extra_force=None) -> "ShardedWorld":

@@ -120,9 +120,10 @@ def record_trajectory(
     inside the capture scan (same contract as World.update's hook)."""
     from .world import effective_src_len, resolve_backend
 
-    backend = resolve_backend(backend or world.default_backend,
-                              world.total_len, world.mass_len,
-                              merging=world.config.merge_collisions)
+    backend = resolve_backend(
+        backend or world.default_backend, world.total_len, world.mass_len,
+        merging=world.config.merge_collisions,
+        rebin_interval=world.config.p3m_rebin_interval)
 
     state, gm, traj = record_states(
         world.state, world.gm, world.valid, jnp.float32(dt),
@@ -158,13 +159,25 @@ def record_observables(
     entirely (see :func:`nbody_tpu.diagnostics.observables_capture`).
     Returns host numpy arrays keyed by observable, plus ``"time"``
     (the simulation time at each captured frame, starting after the first
-    frame's substeps). The world's state is updated."""
-    from .diagnostics import observables_capture
+    frame's substeps). The world's state is updated.
+
+    ``energy`` / ``**capture_kw`` configure the default observable set and
+    are rejected alongside a custom ``capture`` (which replaces that set
+    entirely). The default capture is cached per settings
+    (``diagnostics.observables_capture`` is lru_cached), so repeated calls
+    hit the same compiled scan."""
+    from .diagnostics import (
+        check_observables_args,
+        observables_capture,
+        observables_series_out,
+    )
     from .world import effective_src_len, resolve_backend
 
-    backend = resolve_backend(backend or world.default_backend,
-                              world.total_len, world.mass_len,
-                              merging=world.config.merge_collisions)
+    check_observables_args(capture, energy, capture_kw)
+    backend = resolve_backend(
+        backend or world.default_backend, world.total_len, world.mass_len,
+        merging=world.config.merge_collisions,
+        rebin_interval=world.config.p3m_rebin_interval)
     if capture is None:
         capture = observables_capture(world.mass_len, energy=energy,
                                       **capture_kw)
@@ -179,11 +192,7 @@ def record_observables(
     world.state = state
     world.gm = gm
     world._host_cache = None
-    series = jax.tree.map(np.asarray, series)
-    out = dict(series) if isinstance(series, dict) else {"capture": series}
-    out["time"] = (np.arange(1, frames + 1, dtype=np.float64)
-                   * steps_per_frame * dt)
-    return out
+    return observables_series_out(series, frames, steps_per_frame, dt)
 
 
 def record_trajectory_sharded(
