@@ -8,9 +8,11 @@ the dynamic `fori_loop` used by the production path; `jax.checkpoint`
 (rematerialization) keeps memory O(sqrt)-ish instead of storing every
 substep's residuals.
 
-The jnp force backend is used: the Pallas kernel has no VJP registered (a
-custom adjoint kernel is future work); XLA fuses the jnp path to within a few
-percent of the kernel anyway (docs/BENCHMARKS.md).
+``backend="jnp"`` differentiates the XLA-fused direct sum directly.
+``backend="pallas"`` runs the Pallas kernel forward through a custom VJP
+(``ops.pallas_forces.make_differentiable_acc``) whose backward pass re-derives
+the adjoint from the mathematically identical jnp formulation at backward
+time — O(N) residuals, no O(N·S) storage.
 """
 
 from __future__ import annotations
