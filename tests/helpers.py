@@ -11,6 +11,14 @@ TINY = SimConfig(tile_targets=8, tile_sources=128)
 # Same tiles, exact sqrt+divide force math (the reference shader semantics).
 PRECISE = SimConfig(tile_targets=8, tile_sources=128, precise=True)
 
+# Grid-backend golden configs, shared with scripts/make_golden_grid.py so
+# the committed pm/p3m golden trajectories and the tests that check them
+# can never drift apart. A silent numerical shift inside the CIC/FFT/PP
+# pipelines across jax versions fails test_golden, even while the
+# error-envelope tests (test_pm_forces/test_p3m_forces) still pass.
+GOLDEN_GRID = SimConfig(pm_grid=64, pm_softening=2.0, p3m_rc_cells=4,
+                        p3m_cell_capacity=96, p3m_exact_targets=64)
+
 
 def random_particles(n, seed=0, massless_frac=0.3):
     rng = np.random.default_rng(seed)
