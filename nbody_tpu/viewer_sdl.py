@@ -16,10 +16,11 @@ Controls (same map as the reference / the matplotlib viewer):
 Screen space is y-down (like raylib): W pans the *view* up, i.e. the camera
 target's y decreases (main.c:74-77).
 
-The loop runs headlessly under SDL's "dummy" video driver
-(``SDL_VIDEODRIVER=dummy``) — that is how CI executes the real loop
-(tests/test_viewer_sdl.py), and how it was validated in this repo's
-display-less environment.
+Headless validation (tests/test_viewer_sdl.py, this repo has no display):
+most CI cases run the real loop under SDL's "dummy" video driver
+(``SDL_VIDEODRIVER=dummy``), and one case runs it under the *offscreen*
+driver — a real SDL render backend with an actual window surface — and
+asserts rasterized particles on the live surface after the blit.
 """
 
 from __future__ import annotations
