@@ -29,18 +29,17 @@ Design (v2 — what round-1 measurement taught us):
     (``particle_cs.glsl:51-52``) or the second half of position-Verlet
     (``pos_dt=0.5``) applied in-kernel, so ``backend="pallas"`` is ONE
     kernel launch per substep with no XLA glue.
-  * Sources beyond the VMEM residency budget stream with in-kernel
-    double-buffered ``make_async_copy`` DMA (v4, round 4 — the ring
-    kernel's pattern, ``ring_forces.py``): the source panel stays in
-    compiler-chosen (HBM) memory and chunk-wide tiles prefetch through two
-    single-chunk VMEM buffers while the other buffer feeds the force
-    loop — one flat pair-unrolled loop with a guard-free body (see
-    ``_stream_kernel`` for the measured structure rules). The grid stays
-    1-D over target tiles, so the per-(i, j)-grid-step costs of the
-    round-2/3 second-grid-dimension form (target-row transposes,
-    accumulator scratch round-trips, Mosaic grid prologue — the measured
-    -9% at N=1M, docs/BENCHMARKS.md) are paid once per target tile.
-    Sources unlimited; tail padding is <= tile_sources/S (~0.4% at N=1M).
+  * Sources beyond the VMEM residency budget stream through a second,
+    Mosaic-pipelined grid dimension of LARGE (3, ~131k) source blocks
+    (v5, round 4), with the column accumulators carried in VMEM scratch
+    and the resident kernel's chunk loop inside each block. The block
+    width amortizes the per-(i, j)-grid-step fixed costs 64x (they cost
+    9% at N=1M when the block was one 2048 chunk in rounds 2-3; +1.28%
+    at blk=131072); manual in-kernel DMA pipelines measured strictly
+    worse (+21% nested-loop / +68% flat form — see ``_stream_kernel``
+    and scripts/tune_r4*). Sources unlimited; S pads to the stream block
+    (gm=0 padding costs DMA only — the last block's chunk loop is
+    statically shorter; world.source_pad_len).
 
 The ``mass_len`` boundary inside a 128-lane tail is handled with the
 reference's own zero-pad trick (``sim_cpu.c:133-142``): padding sources
@@ -66,20 +65,27 @@ SOURCE_ALIGN = 128
 
 # Largest source count kept fully VMEM-resident as a (3->8, S) panel
 # (32 B/source after sublane padding). Above this the kernel streams source
-# tiles from HBM with in-kernel double-buffered DMA. Validated on v5e
-# (16 MB VMEM) together with the default (1024, 2048) compute tile.
+# blocks through a second, Mosaic-pipelined grid dimension. Validated on
+# v5e (16 MB VMEM) together with the default (1024, 2048) compute tile.
 RESIDENT_SOURCE_MAX = 131072
 
-# Target-tile cap for the streaming kernel: the in-kernel DMA machinery +
-# nested block/chunk loops raise Mosaic's scoped-VMEM stack high enough
-# that a (1024, 2048) compute tile overflows the 16 MB budget (measured
-# +688 KB); 512 leaves ample headroom at every streamed shape.
-STREAM_TILE_CAP = 512
+# Nominal streamed source-block width (rounded to a tile_sources multiple
+# by stream_block_len): the per-(i, j)-grid-step fixed costs (target
+# transposes, accumulator scratch round-trips, grid prologue) cost ~9% at
+# N=1M when the block equals one 2048 chunk (rounds 2-3); wide blocks
+# amortize them away. Measured at N=1M (v5e, vs the jnp backend's
+# 2184 ms/substep): blk 16384 +3.0%, 32768 +2.0%, 65536 +1.5%,
+# 98304 +1.34%, 131072 +1.28% — monotone in width, so the block is pinned
+# at the resident panel's own size. The kernel's last-block chunk count
+# skips gm=0 padding COMPUTE, so the only cost of a wider block is the
+# (bandwidth-trivial, <0.1%) DMA of the padded tail block.
+STREAM_SRC_BLOCK = 131072
 
-# Grid-dimension semantics of the streaming kernel (probe knob): the DMA
-# machinery is self-contained per grid step (every copy started in a step
-# is waited in that step), so "parallel" is semantically safe too.
-STREAM_DIM_SEMANTICS = "arbitrary"
+
+def stream_block_len(tile_sources: int) -> int:
+    """Streamed source-block width: STREAM_SRC_BLOCK rounded down to a
+    positive multiple of ``tile_sources`` (the in-block chunk)."""
+    return tile_sources * max(1, STREAM_SRC_BLOCK // tile_sources)
 
 
 def _pair_chunk(tx, ty, tr, sx, sy, gm, ax, ay, *, precise: bool):
@@ -169,104 +175,95 @@ def _substep_kernel(
 def _stream_kernel(
     dt_ref,      # (1, 1) SMEM
     tgt_ref,     # (6, tile_t) VMEM: pos x, pos y, radius, vel x, vel y, valid
-    src_ref,     # (4, S) ANY (HBM at these sizes): x, y, gm, dead pad row
-    *refs,       # outputs (as _substep_kernel) + scratch: sbuf0, sbuf1, sem
+    src_ref,     # (3, s_blk) VMEM: the j-th source block, Mosaic-pipelined
+    *refs,       # outputs (as _substep_kernel) + scratch: ax_scr, ay_scr
     chunk: int,
-    n_chunks: int,
+    n_full: int,
+    last_full: int,
+    n_j: int,
     precise: bool,
     integrate: bool,
     pos_dt: float,
 ):
-    """Streaming-source kernel (v4): the (3, S) panel stays in
-    compiler-chosen (HBM) memory; (3, chunk) tiles prefetch into two
-    separate single-chunk VMEM scratch buffers with explicit DMA while the
-    other buffer feeds the force math. Structure lessons (each variant
-    measured at N=1M / S~130k forced-stream, scripts/tune_r4*):
+    """Streaming-source kernel (v5): a second grid dimension walks (3,
+    s_blk) source blocks, double-buffered by Mosaic's automatic pipelining;
+    the (tile_t, 128) column accumulators carry across j steps in VMEM
+    scratch, and an inner ``fori_loop`` walks each block in chunk slices
+    (the resident kernel's exact inner structure). The LAST block runs a
+    statically shorter chunk loop (``last_full``): S pads up to s_blk for
+    the uniform BlockSpec, but the gm=0 padding chunks are never computed
+    (exact-source semantics at chunk granularity; only the final partial
+    chunk's <=2048 zero-contribution lanes remain), and the padded tail's
+    DMA is bandwidth-trivial.
 
-      * ONE flat loop, unrolled by 2 so every slot reference is a
-        trace-time-static buffer object — a nested block/chunk loop costs
-        ~20% per PAIR (the (tile_t, 128)x2 accumulator carry crosses two
-        fori_loop boundaries), and a dynamic-slot 3-D scratch read costs
-        the same again.
-      * NO conditionals in the loop body: a ``pl.when`` prefetch guard
-        breaks Mosaic's software pipelining of the FMA chain. The main
-        loop covers the pairs whose next-next prefetches are all valid
-        (n_chunks - 2 chunks), and the last 2-3 chunks run as a static
-        epilogue.
-      * Full-width STATIC reads of the chunk buffer (buffer width ==
-        chunk), matching the resident kernel's innermost structure.
-
-    The panel carries a dead 4th row: HBM memrefs tile dim 0 by 4, and DMA
-    slices must be tile-aligned (same constraint as ring_forces.py). The
-    caller pads S to a chunk multiple (<= tile_sources/S dead work, ~0.4%
-    at N=1M; padding rows carry gm = 0 and contribute exactly zero)."""
-    sbuf0, sbuf1, sem = refs[-3:]
-    out_refs = refs[:-3]
-    bufs = (sbuf0, sbuf1)
+    Why this structure (every alternative measured, scripts/tune_r4*):
+    manual in-kernel DMA forms lose 20-70% per pair — a nested block/chunk
+    loop pays accumulator-carry costs at both loop levels, a flat
+    chunk-granular DMA pipeline is DMA-latency-bound, and ``pl.when``
+    prefetch guards break Mosaic's software pipelining of the FMA chain.
+    The round-2/3 version of THIS form lost 9% at N=1M only because it
+    used s_blk == chunk (2048): the per-(i, j)-step fixed costs (target
+    transposes, scratch round-trips, grid prologue) repeated 257x per
+    target tile. Wide blocks amortize those costs 16x."""
+    ax_scr, ay_scr = refs[-2:]
+    out_refs = refs[:-2]
+    j = pl.program_id(1)
     tx = jnp.transpose(tgt_ref[0:1, :])  # (tile_t, 1)
     ty = jnp.transpose(tgt_ref[1:2, :])
     tr = jnp.transpose(tgt_ref[2:3, :])
     tile_t = tx.shape[0]
 
-    def dma(j, slot):
-        """Copy descriptor for chunk ``j`` (may be traced) into ``slot``
-        (ALWAYS a Python int selecting one of the two 2-D buffers)."""
-        return pltpu.make_async_copy(
-            src_ref.at[:, pl.ds(j * chunk, chunk)],
-            bufs[slot].at[:, :],
-            sem.at[slot])
+    def block(off, size, ax, ay):
+        return _pair_chunk(
+            tx, ty, tr,
+            src_ref[0:1, pl.ds(off, size)],
+            src_ref[1:2, pl.ds(off, size)],
+            src_ref[2:3, pl.ds(off, size)],
+            ax, ay, precise=precise)
 
-    def compute(slot, ax, ay):
-        buf = bufs[slot]
-        return _pair_chunk(tx, ty, tr, buf[0:1, :], buf[1:2, :],
-                           buf[2:3, :], ax, ay, precise=precise)
+    def chunks(n, ax, ay):
+        return jax.lax.fori_loop(
+            0, n, lambda c, car: block(c * chunk, chunk, car[0], car[1]),
+            (ax, ay))
 
-    zero = jnp.zeros((tile_t, 128), DTYPE)
-    ax, ay = zero, jnp.zeros_like(zero)
-    dma(0, 0).start()
-    if n_chunks == 1:
-        dma(0, 0).wait()
-        ax, ay = compute(0, ax, ay)
+    @pl.when(j == 0)
+    def _():
+        ax_scr[:] = jnp.zeros_like(ax_scr)
+        ay_scr[:] = jnp.zeros_like(ay_scr)
+
+    if n_j == 1:
+        ax, ay = chunks(last_full, ax_scr[:], ay_scr[:])
+        _finalize(dt_ref, tgt_ref, out_refs, ax, ay, integrate=integrate,
+                  pos_dt=pos_dt)
+        return
+
+    # ONE instance of the chunk loop (and of _finalize): a second
+    # instance under a disjoint pl.when branch ADDS to Mosaic's scoped
+    # VMEM stack (measured 18.57M > the 16M budget at (1024, 2048) —
+    # the resident compute tile sits near the limit by design). When the
+    # real sources end mid-way through the last block, the trip count
+    # becomes a traced select instead — same loop body, no duplication.
+    if last_full == n_full:
+        ax, ay = chunks(n_full, ax_scr[:], ay_scr[:])
     else:
-        dma(1, 1).start()
-        # Main loop: guard-free — every start() below lands on a valid
-        # chunk index because the final 2-3 chunks are excluded.
-        n_pairs = (n_chunks - 2) // 2
-        rest = n_chunks - 2 * n_pairs  # 2 or 3
+        trip = jax.lax.select(j == n_j - 1, last_full, n_full)
+        ax, ay = chunks(trip, ax_scr[:], ay_scr[:])
 
-        def pair_body(p, car):
-            ax, ay = car
-            j = 2 * p
-            dma(j, 0).wait()
-            ax, ay = compute(0, ax, ay)
-            dma(j + 2, 0).start()
-            dma(j + 1, 1).wait()
-            ax, ay = compute(1, ax, ay)
-            dma(j + 3, 1).start()
-            return ax, ay
+    @pl.when(j < n_j - 1)
+    def _():
+        ax_scr[:] = ax
+        ay_scr[:] = ay
 
-        if n_pairs:
-            ax, ay = jax.lax.fori_loop(0, n_pairs, pair_body, (ax, ay))
-        # Epilogue: chunks [2*n_pairs, n_chunks) — their slot-0/1 DMAs were
-        # started by the last pair iteration (or the seeds when n_pairs=0).
-        j = 2 * n_pairs
-        dma(j, 0).wait()
-        ax, ay = compute(0, ax, ay)
-        if rest == 3:
-            dma(j + 2, 0).start()
-        dma(j + 1, 1).wait()
-        ax, ay = compute(1, ax, ay)
-        if rest == 3:
-            dma(j + 2, 0).wait()
-            ax, ay = compute(0, ax, ay)
-    _finalize(dt_ref, tgt_ref, out_refs, ax, ay, integrate=integrate,
-              pos_dt=pos_dt)
+    @pl.when(j == n_j - 1)
+    def _():
+        _finalize(dt_ref, tgt_ref, out_refs, ax, ay,
+                  integrate=integrate, pos_dt=pos_dt)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("tile_targets", "tile_sources", "precise", "integrate",
-                     "pos_dt", "interpret"),
+                     "pos_dt", "interpret", "src_real"),
 )
 def _substep_call(
     dt: jax.Array,
@@ -279,6 +276,7 @@ def _substep_call(
     integrate: bool,
     pos_dt: float,
     interpret: bool | None,
+    src_real: int | None = None,
 ):
     t = tgt.shape[1]
     s = src.shape[1]
@@ -294,8 +292,6 @@ def _substep_call(
     # tile at 512 there; the loss is negligible at those latency-bound sizes.
     if s <= 4096:
         tile_t = min(tile_t, 512)
-    if not resident:
-        tile_t = min(tile_t, STREAM_TILE_CAP)  # see STREAM_TILE_CAP note
     while t % tile_t and tile_t > TARGET_ALIGN:
         tile_t //= 2
     if t % tile_t or tile_t % TARGET_ALIGN:
@@ -307,34 +303,6 @@ def _substep_call(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    if resident:
-        chunk = min(tile_sources, s)
-        n_full, tail = divmod(s, chunk)
-        kernel = functools.partial(
-            _substep_kernel, chunk=chunk, n_full=n_full, tail=tail,
-            precise=precise, integrate=integrate, pos_dt=pos_dt)
-        src_spec = pl.BlockSpec((3, s), lambda i: (0, 0),
-                                memory_space=pltpu.VMEM)
-        scratch = []
-        has_dma = False
-    else:
-        chunk = tile_sources
-        if s % chunk:
-            raise ValueError(
-                f"streaming sources: S={s} must be a multiple of "
-                f"tile_sources={chunk}")
-        kernel = functools.partial(
-            _stream_kernel, chunk=chunk, n_chunks=s // chunk,
-            precise=precise, integrate=integrate, pos_dt=pos_dt)
-        src_spec = pl.BlockSpec(memory_space=pl.ANY)
-        # dead 4th panel row: HBM memrefs tile dim 0 by 4 and DMA slices
-        # must be tile-aligned (ring_forces.py has the same pad)
-        src = jnp.concatenate([src, jnp.zeros((1, s), DTYPE)], axis=0)
-        scratch = [pltpu.VMEM((4, chunk), DTYPE),
-                   pltpu.VMEM((4, chunk), DTYPE),
-                   pltpu.SemaphoreType.DMA((2,))]
-        has_dma = True
-
     n_out = 3 if integrate else 1
     pairs = t * s
     cost = pl.CostEstimate(
@@ -342,11 +310,53 @@ def _substep_call(
         bytes_accessed=(6 * t + 3 * s + 2 * n_out * t) * 4,
         transcendentals=pairs,
     )
-    grid = (t // tile_t,)
-    tgt_spec = pl.BlockSpec((6, tile_t), lambda i: (0, i),
-                            memory_space=pltpu.VMEM)
-    out_spec = [pl.BlockSpec((2, tile_t), lambda i: (0, i),
-                             memory_space=pltpu.VMEM)] * n_out
+
+    if resident:
+        chunk = min(tile_sources, s)
+        n_full, tail = divmod(s, chunk)
+        kernel = functools.partial(
+            _substep_kernel, chunk=chunk, n_full=n_full, tail=tail,
+            precise=precise, integrate=integrate, pos_dt=pos_dt)
+        grid = (t // tile_t,)
+        tgt_spec = pl.BlockSpec((6, tile_t), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+        src_spec = pl.BlockSpec((3, s), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+        out_spec = [pl.BlockSpec((2, tile_t), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM)] * n_out
+        scratch = []
+        semantics = ("parallel",)
+    else:
+        chunk = tile_sources
+        s_blk = min(stream_block_len(chunk), s)
+        if s % s_blk:
+            raise ValueError(
+                f"streaming sources: S={s} must be a multiple of the "
+                f"stream block {s_blk} (see world.source_pad_len)")
+        n_j = s // s_blk
+        n_full = s_blk // chunk
+        # Real (unpadded) sources end inside the last block: its chunk
+        # loop is statically shorter, so gm=0 block padding costs no
+        # compute (callers that know mass_len pass it as src_real).
+        real = min(src_real or s, s)
+        if real <= (n_j - 1) * s_blk:
+            raise ValueError(
+                f"src_real={src_real} leaves the last stream block empty "
+                f"(S={s}, block {s_blk}) — the source row is over-padded")
+        last_full = -(-(real - (n_j - 1) * s_blk) // chunk)
+        kernel = functools.partial(
+            _stream_kernel, chunk=chunk, n_full=n_full,
+            last_full=last_full, n_j=n_j, precise=precise,
+            integrate=integrate, pos_dt=pos_dt)
+        grid = (t // tile_t, s // s_blk)
+        tgt_spec = pl.BlockSpec((6, tile_t), lambda i, j: (0, i),
+                                memory_space=pltpu.VMEM)
+        src_spec = pl.BlockSpec((3, s_blk), lambda i, j: (0, j),
+                                memory_space=pltpu.VMEM)
+        out_spec = [pl.BlockSpec((2, tile_t), lambda i, j: (0, i),
+                                 memory_space=pltpu.VMEM)] * n_out
+        scratch = [pltpu.VMEM((tile_t, 128), DTYPE)] * 2
+        semantics = ("parallel", "arbitrary")
 
     out = pl.pallas_call(
         kernel,
@@ -356,10 +366,7 @@ def _substep_call(
         out_shape=[jax.ShapeDtypeStruct((2, t), DTYPE)] * n_out,
         scratch_shapes=scratch,
         cost_estimate=cost,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=(
-                (STREAM_DIM_SEMANTICS,) if has_dma else ("parallel",)),
-        ),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=semantics),
         interpret=interpret,
     )(jnp.asarray(dt, DTYPE).reshape(1, 1), tgt, src)
     return out
@@ -382,8 +389,13 @@ def fused_substep(
     precise: bool = False,
     pos_dt: float = 1.0,
     interpret: bool | None = None,
+    src_real: int | None = None,
 ):
     """One fused substep (force + integrate) in a single kernel launch.
+
+    ``src_real`` (static) is the real (unpadded) source count; in
+    streaming mode the kernel then skips the gm=0 padding chunks of the
+    last source block entirely.
 
     ``pos_dt=1.0`` gives the reference's semi-implicit Euler
     (``v += a*dt; x += v*dt``, particle_cs.glsl:51-52). ``pos_dt=0.5`` is
@@ -400,7 +412,8 @@ def fused_substep(
     acc, npos, nvel = _substep_call(
         dt, tgt, src,
         tile_targets=tile_targets, tile_sources=tile_sources,
-        precise=precise, integrate=True, pos_dt=pos_dt, interpret=interpret)
+        precise=precise, integrate=True, pos_dt=pos_dt, interpret=interpret,
+        src_real=src_real)
     return _rows_to_cols(npos), _rows_to_cols(nvel), _rows_to_cols(acc)
 
 
@@ -414,6 +427,7 @@ def pallas_acc(
     tile_sources: int = 2048,
     precise: bool = False,
     interpret: bool | None = None,
+    src_real: int | None = None,
 ) -> jax.Array:
     """Compute accelerations with the tiled Pallas kernel (no integration).
 
@@ -423,7 +437,9 @@ def pallas_acc(
       tgt_radius: (T,) target radii.
       src_pos: (S, 2) source positions; S must be a multiple of 128
         (SOURCE_ALIGN). Exact-source semantics: no tile_sources padding
-        required (particle_cs.glsl:35 loops to mass_len exactly).
+        required (particle_cs.glsl:35 loops to mass_len exactly). Beyond
+        the VMEM residency budget (RESIDENT_SOURCE_MAX) S must instead be
+        a multiple of the stream block (world.source_pad_len pads so).
       src_gm: (S,) G*mass per source, zero for padding / non-exerting rows.
       interpret: run in interpreter mode (auto-on for non-TPU backends so the
         same code path is testable on the CPU mesh).
@@ -440,7 +456,8 @@ def pallas_acc(
     (acc,) = _substep_call(
         jnp.float32(0.0), tgt, src,
         tile_targets=tile_targets, tile_sources=tile_sources,
-        precise=precise, integrate=False, pos_dt=1.0, interpret=interpret)
+        precise=precise, integrate=False, pos_dt=1.0, interpret=interpret,
+        src_real=src_real)
     return _rows_to_cols(acc)
 
 

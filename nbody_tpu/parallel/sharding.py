@@ -30,7 +30,12 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import forces, integrators
-from ..ops.pallas_forces import SOURCE_ALIGN, pallas_acc
+from ..ops.pallas_forces import (
+    RESIDENT_SOURCE_MAX,
+    SOURCE_ALIGN,
+    pallas_acc,
+    stream_block_len,
+)
 from ..types import Particles, SimConfig, DEFAULT_SIM_CONFIG, round_up
 
 AXIS = "shard"
@@ -44,6 +49,11 @@ def shard_layout(n: int, mass_len: int, config: SimConfig, d: int):
     s_loc = round_up(max(mass_len, 1), SOURCE_ALIGN * d) // d
     if s_loc > config.tile_sources:
         s_loc = round_up(s_loc, config.tile_sources)
+    if s_loc > RESIDENT_SOURCE_MAX:
+        # per-shard sources beyond the VMEM residency budget run the local
+        # kernel in streaming mode, which needs stream-block padding (same
+        # rule as world.source_pad_len)
+        s_loc = round_up(s_loc, stream_block_len(config.tile_sources))
     src_len = s_loc * d
     t_loc = round_up(max(n, src_len), 8 * d) // d
     if t_loc > config.tile_targets:

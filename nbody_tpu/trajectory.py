@@ -22,8 +22,8 @@ from .world import World, _step
 
 @functools.partial(
     jax.jit,
-    static_argnames=("frames", "steps_per_frame", "src_len", "config",
-                     "backend", "extra_force", "capture"),
+    static_argnames=("frames", "steps_per_frame", "src_len", "src_real",
+                     "config", "backend", "extra_force", "capture"),
     donate_argnums=(0,),
 )
 def record_states(
@@ -35,6 +35,7 @@ def record_states(
     frames: int,
     steps_per_frame: int,
     src_len: int,
+    src_real: int | None = None,
     config: SimConfig,
     backend: str,
     extra_force=None,
@@ -53,8 +54,8 @@ def record_states(
     cap = capture if capture is not None else (lambda st, gm_: st.pos)
     body = functools.partial(
         _step, gm=gm, valid=valid, dt=dt,
-        src_len=src_len, config=config, backend=backend, interpret=None,
-        extra_force=extra_force,
+        src_len=src_len, src_real=src_real, config=config, backend=backend,
+        interpret=None, extra_force=extra_force,
     )
 
     if config.merge_collisions:
@@ -62,8 +63,9 @@ def record_states(
         # (ONE definition; the update and capture paths cannot drift)
         from .world import merging_substep_fn
 
-        sub = merging_substep_fn(valid, src_len=src_len, config=config,
-                                 backend=backend, extra_force=extra_force)
+        sub = merging_substep_fn(valid, src_len=src_len, src_real=src_real,
+                                 config=config, backend=backend,
+                                 extra_force=extra_force)
 
         def frame_body(carry, _):
             carry = jax.lax.fori_loop(
@@ -129,6 +131,7 @@ def record_trajectory(
         world.state, world.gm, world.valid, jnp.float32(dt),
         frames=frames, steps_per_frame=steps_per_frame,
         src_len=effective_src_len(backend, world.src_len, world.mass_len),
+        src_real=world.mass_len,
         config=world.config, backend=backend, extra_force=extra_force,
     )
     world.state = state
@@ -186,6 +189,7 @@ def record_observables(
         world.state, world.gm, world.valid, jnp.float32(dt),
         frames=frames, steps_per_frame=steps_per_frame,
         src_len=effective_src_len(backend, world.src_len, world.mass_len),
+        src_real=world.mass_len,
         config=world.config, backend=backend, extra_force=extra_force,
         capture=capture,
     )

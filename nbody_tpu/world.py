@@ -38,6 +38,7 @@ from .ops.pallas_forces import (
     SOURCE_ALIGN,
     fused_substep,
     pallas_acc,
+    stream_block_len,
 )
 from .types import (
     DEFAULT_SIM_CONFIG,
@@ -104,10 +105,11 @@ def source_pad_len(mass_len: int, tile_sources: int) -> int:
 
     Resident sources need only the 128-lane alignment (exact-source
     semantics, particle_cs.glsl:35); streamed sources (beyond the VMEM
-    residency budget) pad to the streaming block (<= ~0.8% dead work)."""
+    residency budget) pad to the streamed source block (~1-3% gm=0 dead
+    work at N=1M, shrinking with N — ops.pallas_forces.stream_block_len)."""
     if mass_len <= max(RESIDENT_SOURCE_MAX, tile_sources):
         return round_up(max(mass_len, 1), SOURCE_ALIGN)
-    return round_up(mass_len, tile_sources)
+    return round_up(mass_len, stream_block_len(tile_sources))
 
 
 def partition_massive_first(mass: np.ndarray) -> tuple[np.ndarray, int]:
@@ -155,6 +157,7 @@ def _step(
     dt: jax.Array,
     *,
     src_len: int,
+    src_real: int | None = None,
     config: SimConfig,
     backend: Backend,
     interpret: bool | None,
@@ -195,6 +198,7 @@ def _step(
                 precise=config.precise,
                 pos_dt=1.0 if ws is None else 0.5,
                 interpret=interpret,
+                src_real=src_real,
             )
         return Particles(pos=pos, vel=vel, acc=acc,
                          mass=state.mass, radius=state.radius)
@@ -207,9 +211,9 @@ def _step(
     def force_at(p):
         at = Particles(pos=p, vel=state.vel, acc=state.acc,
                        mass=state.mass, radius=state.radius)
-        acc = _force(at, gm, src_len=src_len, config=config,
-                     backend=backend, interpret=interpret, valid=valid,
-                     p3m_bins=p3m_bins)
+        acc = _force(at, gm, src_len=src_len, src_real=src_real,
+                     config=config, backend=backend, interpret=interpret,
+                     valid=valid, p3m_bins=p3m_bins)
         if extra_force is not None:
             acc = acc + forces.checked_extra_acc(extra_force, p, state.vel)
         return acc * valid
@@ -224,6 +228,7 @@ def _force(
     gm: jax.Array,
     *,
     src_len: int,
+    src_real: int | None = None,
     config: SimConfig,
     backend: Backend,
     interpret: bool | None,
@@ -243,6 +248,7 @@ def _force(
             tile_sources=config.tile_sources,
             precise=config.precise,
             interpret=interpret,
+            src_real=src_real,
         )
     if backend == "jnp":
         chunk = min(config.tile_targets, state.n)
@@ -350,7 +356,7 @@ def p3m_substep_loop(state: Particles, bins, start, n, body, bins_of,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("src_len", "config", "backend", "interpret",
+    static_argnames=("src_len", "src_real", "config", "backend", "interpret",
                      "extra_force"),
     donate_argnums=(0,),
 )
@@ -362,6 +368,7 @@ def update_state(
     n: jax.Array,
     *,
     src_len: int,
+    src_real: int | None = None,
     config: SimConfig,
     backend: Backend,
     interpret: bool | None = None,
@@ -374,8 +381,8 @@ def update_state(
     function object compiles once — define the hook once and reuse it."""
     body = functools.partial(
         _step, gm=gm, valid=valid, dt=dt,
-        src_len=src_len, config=config, backend=backend, interpret=interpret,
-        extra_force=extra_force,
+        src_len=src_len, src_real=src_real, config=config, backend=backend,
+        interpret=interpret, extra_force=extra_force,
     )
     if backend == "p3m":
         # Always route through the bins loop: the exact-core row selection
@@ -394,7 +401,7 @@ def update_state(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("src_len", "config", "backend", "interpret",
+    static_argnames=("src_len", "src_real", "config", "backend", "interpret",
                      "extra_force"),
     donate_argnums=(0, 1),
 )
@@ -406,6 +413,7 @@ def update_state_merging(
     n: jax.Array,
     *,
     src_len: int,
+    src_real: int | None = None,
     config: SimConfig,
     backend: Backend,
     interpret: bool | None = None,
@@ -422,14 +430,15 @@ def update_state_merging(
     radii also change under merging) from the carried state — only
     ``p3m_rebin_interval > 1`` has a genuine staleness conflict and is
     rejected."""
-    sub = merging_substep_fn(valid, src_len=src_len, config=config,
-                             backend=backend, interpret=interpret,
-                             extra_force=extra_force)
+    sub = merging_substep_fn(valid, src_len=src_len, src_real=src_real,
+                             config=config, backend=backend,
+                             interpret=interpret, extra_force=extra_force)
     return jax.lax.fori_loop(0, n, lambda _, c: sub(c, dt), (state, gm))
 
 
-def merging_substep_fn(valid, *, src_len: int, config: SimConfig,
-                       backend: Backend, interpret=None, extra_force=None):
+def merging_substep_fn(valid, *, src_len: int, src_real: int | None = None,
+                       config: SimConfig, backend: Backend, interpret=None,
+                       extra_force=None):
     """The substep-then-merge body shared by :func:`update_state_merging`,
     :func:`update_state_adaptive`, and trajectory capture
     (``trajectory.record_states``) — ONE definition so the update and
@@ -446,8 +455,8 @@ def merging_substep_fn(valid, *, src_len: int, config: SimConfig,
 
     def sub(carry, dt):
         st, gm = carry
-        st = _step(st, gm, valid, dt, src_len=src_len, config=config,
-                   backend=backend, interpret=interpret,
+        st = _step(st, gm, valid, dt, src_len=src_len, src_real=src_real,
+                   config=config, backend=backend, interpret=interpret,
                    extra_force=extra_force)
         # contact pass over the massive prefix only (every live row sits
         # below src_len; rows past it have gm == 0 and stay inert)
@@ -463,7 +472,7 @@ def merging_substep_fn(valid, *, src_len: int, config: SimConfig,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("src_len", "config", "backend", "interpret",
+    static_argnames=("src_len", "src_real", "config", "backend", "interpret",
                      "extra_force"),
     donate_argnums=(0, 1),
 )
@@ -477,6 +486,7 @@ def update_state_adaptive(
     dt_min: jax.Array,
     dt_max: jax.Array,
     src_len: int,
+    src_real: int | None = None,
     config: SimConfig,
     backend: Backend,
     interpret: bool | None = None,
@@ -500,15 +510,16 @@ def update_state_adaptive(
     dt) when gradients are needed.
     """
     if config.merge_collisions:
-        sub = merging_substep_fn(valid, src_len=src_len, config=config,
-                                 backend=backend, interpret=interpret,
+        sub = merging_substep_fn(valid, src_len=src_len, src_real=src_real,
+                                 config=config, backend=backend,
+                                 interpret=interpret,
                                  extra_force=extra_force)
     else:
         def sub(carry, dt):
             st, gm = carry
-            return _step(st, gm, valid, dt, src_len=src_len, config=config,
-                         backend=backend, interpret=interpret,
-                         extra_force=extra_force), gm
+            return _step(st, gm, valid, dt, src_len=src_len,
+                         src_real=src_real, config=config, backend=backend,
+                         interpret=interpret, extra_force=extra_force), gm
 
     # prime acc (dt = 0: v and x unchanged, acc stored)
     state, gm = sub((state, gm), jnp.float32(0.0))
@@ -603,7 +614,8 @@ class World:
             rebin_interval=self.config.p3m_rebin_interval)
         kwargs = dict(
             src_len=effective_src_len(backend, self.src_len, self.mass_len),
-            config=self.config, backend=backend, extra_force=extra_force,
+            src_real=self.mass_len, config=self.config, backend=backend,
+            extra_force=extra_force,
         )
         args = (self.state, self.gm, self.valid,
                 jnp.float32(dt), jnp.int32(n))
@@ -632,7 +644,8 @@ class World:
             eta=jnp.float32(eta), dt_min=jnp.float32(dt_min),
             dt_max=jnp.float32(dt_max),
             src_len=effective_src_len(backend, self.src_len, self.mass_len),
-            config=self.config, backend=backend, extra_force=extra_force,
+            src_real=self.mass_len, config=self.config, backend=backend,
+            extra_force=extra_force,
         )
         self._host_cache = None
         return int(jax.device_get(k))

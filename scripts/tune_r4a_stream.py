@@ -26,18 +26,23 @@ try:
     t = 2048
     pos = jnp.asarray(rng.randn(t, 2) * 50, jnp.float32)
     rad = jnp.asarray(np.abs(rng.randn(t)) + 0.5, jnp.float32)
-    # Coverage of the v4 flat pair loop (chunk=2048): n_chunks = 1 (static
-    # single-chunk path); 2 (no pairs, rest=2); 3 (no pairs, rest=3);
-    # 5 (1 pair, rest=3); 8 (3 pairs, rest=2); 11 (4 pairs, rest=3).
-    for s in (2048, 4096, 6144, 10240, 16384, 22528):
-        gm = jnp.asarray(np.abs(rng.randn(s)) * 10, jnp.float32)
+    # Coverage of the v5 second-grid-dim streaming (chunk=2048, block
+    # 32768): single partial block; multi-block scratch-accumulator carry;
+    # static-last-block chunk skipping via src_real (uniform and shorter).
+    for s, real in ((4096, None), (4096, 2000), (65536, None),
+                    (65536, 40000), (98304, 70000)):
+        gm_np = np.abs(rng.randn(s)) * 10
+        if real is not None:
+            gm_np[real:] = 0.0  # padding rows must be inert
+        gm = jnp.asarray(gm_np, jnp.float32)
         src = jnp.asarray(rng.randn(s, 2) * 50, jnp.float32)
         want = np.asarray(forces.direct_sum_acc(pos, rad, src, gm,
                                                 precise=False))
-        got = np.asarray(pf.pallas_acc(pos, rad, src, gm, tile_sources=2048))
+        got = np.asarray(pf.pallas_acc(pos, rad, src, gm, tile_sources=2048,
+                                       src_real=real))
         scale = np.abs(want).max()
         np.testing.assert_allclose(got / scale, want / scale, atol=2e-6)
-        print(f"streaming correctness S={s}: OK", flush=True)
+        print(f"streaming correctness S={s} real={real}: OK", flush=True)
 finally:
     pf.RESIDENT_SOURCE_MAX = old
 

@@ -55,19 +55,18 @@ if "--resident-cap" in sys.argv:
         print(f"    -> vs jnp: {(ms - rbase) / rbase * 100:+.1f}%", flush=True)
     sys.exit(0)
 
-# v4 knobs: target-tile cap x chunk (== DMA granularity)
+# v5 knobs: stream source-block width x chunk
 VARIANTS = [
-    (512, 2048),
-    (1024, 2048),
-    (512, 4096),
-    (1024, 4096),
-    (512, 1024),
+    (32768, 2048),
+    (16384, 2048),
+    (32768, 4096),
+    (65536, 2048),
 ]
-for cap, ts in VARIANTS:
+for blk, ts in VARIANTS:
     jax.clear_caches()
-    pf.STREAM_TILE_CAP = cap
+    pf.STREAM_SRC_BLOCK = blk
     cfg = dataclasses.replace(nb.DEFAULT_SIM_CONFIG, tile_sources=ts)
-    label = f"pallas cap={cap} chunk={ts}"
+    label = f"pallas blk={blk} chunk={ts}"
     try:
         ms = run("pallas", cfg, label=label)
         print(f"    -> vs jnp: {(ms - base) / base * 100:+.1f}%", flush=True)

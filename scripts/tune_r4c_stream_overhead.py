@@ -44,8 +44,12 @@ res = run("pallas RESIDENT (S~130k fits)")
 # that sizes the source padding)
 pf.RESIDENT_SOURCE_MAX = 1
 nb.world.RESIDENT_SOURCE_MAX = 1
-for sem in ("arbitrary", "parallel"):
+# Measured 2026-08-19 (this script): tile_t is THE lever in streaming mode —
+# at S=131072 forced-stream, tile 1024: +1.2-2.2% vs resident; tile 512:
+# +21-22%; tile 256: +35% (unlike the resident kernel, where 1024/512/256
+# measure within noise). blk=32768 edges 16384 (+1.2% vs +2.2%).
+for blk in (32768, 16384):
     jax.clear_caches()
-    pf.STREAM_DIM_SEMANTICS = sem
-    ms = run(f"pallas STREAMING v4 sem={sem}")
+    pf.STREAM_SRC_BLOCK = blk
+    ms = run(f"pallas STREAM v5 blk={blk}")
     print(f"    -> vs resident: {(ms - res) / res * 100:+.1f}%", flush=True)

@@ -179,18 +179,31 @@ def test_fused_kernel_streaming_boundary():
     from nbody_tpu import forces
 
     old = pf.RESIDENT_SOURCE_MAX
+    old_blk = pf.STREAM_SRC_BLOCK
     pf.RESIDENT_SOURCE_MAX = 512
+    pf.STREAM_SRC_BLOCK = 512  # stream block = 2 x 256-chunk
     try:
         rng = np.random.RandomState(4)
         t = 1024
         pos = jnp.asarray(rng.randn(t, 2) * 50, jnp.float32)
         rad = jnp.asarray(np.abs(rng.randn(t)) + 0.5, jnp.float32)
-        for s in (512, 1024):  # resident at the boundary; streaming above
-            gm = jnp.asarray(np.abs(rng.randn(s)) * 10, jnp.float32)
-            src = pos[:s]
+        # (S, src_real) coverage: resident boundary; single stream block;
+        # multi-block uniform (scratch accumulator carry across j); and a
+        # statically-shorter last block (traced trip count) via src_real.
+        # real=1600 -> last block shorter by a chunk (traced trip count);
+        # real=1800 -> last block full in chunks (static uniform branch).
+        for s, real in ((512, None), (1024, None), (2048, None),
+                        (2048, 1600), (2048, 1800)):
+            gm_np = np.abs(rng.randn(s)) * 10
+            if real is not None:
+                gm_np[real:] = 0.0  # padding rows must be inert
+            gm = jnp.asarray(gm_np, jnp.float32)
+            src = jnp.asarray(rng.randn(s, 2) * 50, jnp.float32)
             want = np.asarray(forces.direct_sum_acc(pos, rad, src, gm, precise=False))
-            got = np.asarray(pf.pallas_acc(pos, rad, src, gm, tile_sources=256))
+            got = np.asarray(pf.pallas_acc(pos, rad, src, gm, tile_sources=256,
+                                           src_real=real))
             scale = np.abs(want).max()
             np.testing.assert_allclose(got / scale, want / scale, atol=2e-6)
     finally:
         pf.RESIDENT_SOURCE_MAX = old
+        pf.STREAM_SRC_BLOCK = old_blk
