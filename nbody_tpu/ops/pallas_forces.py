@@ -37,9 +37,11 @@ Design (v2 — what round-1 measurement taught us):
     9% at N=1M when the block was one 2048 chunk in rounds 2-3; +1.28%
     at blk=131072); manual in-kernel DMA pipelines measured strictly
     worse (+21% nested-loop / +68% flat form — see ``_stream_kernel``
-    and scripts/tune_r4*). Sources unlimited; S pads to the stream block
-    (gm=0 padding costs DMA only — the last block's chunk loop is
-    statically shorter; world.source_pad_len).
+    and scripts/tune_r4*). Sources unlimited; callers pad S to the chunk
+    (tile_sources) only — the kernel splits S evenly into the fewest
+    under-budget blocks and pads <= one chunk per block in-jit, with the
+    last block's chunk loop statically shorter, so gm=0 padding costs
+    (trivial) DMA, never compute.
 
 The ``mass_len`` boundary inside a 128-lane tail is handled with the
 reference's own zero-pad trick (``sim_cpu.c:133-142``): padding sources
@@ -57,7 +59,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..types import DTYPE, SOFTENING_FLOOR
+from ..types import DTYPE, SOFTENING_FLOOR, round_up
 
 # fp32 tiling: sublane multiple 8, lane multiple 128.
 TARGET_ALIGN = 8
@@ -83,8 +85,10 @@ STREAM_SRC_BLOCK = 131072
 
 
 def stream_block_len(tile_sources: int) -> int:
-    """Streamed source-block width: STREAM_SRC_BLOCK rounded down to a
-    positive multiple of ``tile_sources`` (the in-block chunk)."""
+    """MAXIMUM streamed source-block width: STREAM_SRC_BLOCK rounded down
+    to a positive multiple of ``tile_sources`` (the in-block chunk). The
+    kernel splits S into the fewest blocks of at most this width, sized
+    evenly — so actual blocks are in [this/2, this]."""
     return tile_sources * max(1, STREAM_SRC_BLOCK // tile_sources)
 
 
@@ -328,16 +332,26 @@ def _substep_call(
         semantics = ("parallel",)
     else:
         chunk = tile_sources
-        s_blk = min(stream_block_len(chunk), s)
-        if s % s_blk:
+        if s % chunk:
             raise ValueError(
-                f"streaming sources: S={s} must be a multiple of the "
-                f"stream block {s_blk} (see world.source_pad_len)")
-        n_j = s // s_blk
+                f"streaming sources: S={s} must be a multiple of "
+                f"tile_sources={chunk} (see world.source_pad_len)")
+        # Split S into the fewest blocks that fit the VMEM budget, sized
+        # evenly (round-robin would leave the last block nearly empty):
+        # padding to the uniform BlockSpec is then <= one chunk per block,
+        # added HERE inside the jit (fused, gm=0 rows => zero force), so
+        # callers never pad beyond chunk alignment and per-shard source
+        # rows (parallel/sharding.py) carry no stream-block dead weight.
+        n_j = -(-s // stream_block_len(chunk))
+        s_blk = round_up(-(-s // n_j), chunk)
+        s_pad = n_j * s_blk
+        if s_pad > s:
+            src = jnp.pad(src, ((0, 0), (0, s_pad - s)))
         n_full = s_blk // chunk
         # Real (unpadded) sources end inside the last block: its chunk
-        # loop is statically shorter, so gm=0 block padding costs no
-        # compute (callers that know mass_len pass it as src_real).
+        # loop is statically shorter, so gm=0 padding costs no compute
+        # (callers that know mass_len pass it as src_real; the jit-added
+        # pad above is skipped even without it since real <= s).
         real = min(src_real or s, s)
         if real <= (n_j - 1) * s_blk:
             raise ValueError(
@@ -348,7 +362,7 @@ def _substep_call(
             _stream_kernel, chunk=chunk, n_full=n_full,
             last_full=last_full, n_j=n_j, precise=precise,
             integrate=integrate, pos_dt=pos_dt)
-        grid = (t // tile_t, s // s_blk)
+        grid = (t // tile_t, n_j)
         tgt_spec = pl.BlockSpec((6, tile_t), lambda i, j: (0, i),
                                 memory_space=pltpu.VMEM)
         src_spec = pl.BlockSpec((3, s_blk), lambda i, j: (0, j),

@@ -31,10 +31,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import forces, integrators
 from ..ops.pallas_forces import (
-    RESIDENT_SOURCE_MAX,
     SOURCE_ALIGN,
     pallas_acc,
-    stream_block_len,
 )
 from ..types import Particles, SimConfig, DEFAULT_SIM_CONFIG, round_up
 
@@ -48,12 +46,10 @@ def shard_layout(n: int, mass_len: int, config: SimConfig, d: int):
     shapes without touching the arrays."""
     s_loc = round_up(max(mass_len, 1), SOURCE_ALIGN * d) // d
     if s_loc > config.tile_sources:
+        # chunk alignment also satisfies the local kernel's streaming mode
+        # (per-shard sources beyond the VMEM residency budget): the kernel
+        # sizes its own stream blocks and never needs block-level padding
         s_loc = round_up(s_loc, config.tile_sources)
-    if s_loc > RESIDENT_SOURCE_MAX:
-        # per-shard sources beyond the VMEM residency budget run the local
-        # kernel in streaming mode, which needs stream-block padding (same
-        # rule as world.source_pad_len)
-        s_loc = round_up(s_loc, stream_block_len(config.tile_sources))
     src_len = s_loc * d
     t_loc = round_up(max(n, src_len), 8 * d) // d
     if t_loc > config.tile_targets:

@@ -38,7 +38,6 @@ from .ops.pallas_forces import (
     SOURCE_ALIGN,
     fused_substep,
     pallas_acc,
-    stream_block_len,
 )
 from .types import (
     DEFAULT_SIM_CONFIG,
@@ -105,11 +104,12 @@ def source_pad_len(mass_len: int, tile_sources: int) -> int:
 
     Resident sources need only the 128-lane alignment (exact-source
     semantics, particle_cs.glsl:35); streamed sources (beyond the VMEM
-    residency budget) pad to the streamed source block (~1-3% gm=0 dead
-    work at N=1M, shrinking with N — ops.pallas_forces.stream_block_len)."""
+    residency budget) pad to the chunk (tile_sources) — the kernel splits
+    S into evenly-sized stream blocks itself and skips all gm=0 padding
+    compute via the static real source count (src_real)."""
     if mass_len <= max(RESIDENT_SOURCE_MAX, tile_sources):
         return round_up(max(mass_len, 1), SOURCE_ALIGN)
-    return round_up(mass_len, stream_block_len(tile_sources))
+    return round_up(mass_len, tile_sources)
 
 
 def partition_massive_first(mass: np.ndarray) -> tuple[np.ndarray, int]:
