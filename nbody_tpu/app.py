@@ -326,6 +326,12 @@ def cmd_view(args) -> None:
 
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(prog="nbody_tpu", description=__doc__)
+    ap.add_argument("--compile-cache", nargs="?", const="", default=None,
+                    metavar="DIR",
+                    help="persist XLA compilations to DIR (bare flag: "
+                         "$NBODY_TPU_CACHE_DIR or ~/.cache/nbody_tpu/xla) "
+                         "so repeat launches skip the 20-40 s cold jit "
+                         "(utils.enable_compile_cache)")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("run", help="headless simulation")
@@ -376,6 +382,9 @@ def main(argv=None) -> None:
     p.set_defaults(fn=cmd_view)
 
     args = ap.parse_args(argv)
+    if args.compile_cache is not None:
+        from .utils import enable_compile_cache
+        enable_compile_cache(args.compile_cache or None)
     args.fn(args)
 
 

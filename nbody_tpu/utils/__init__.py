@@ -5,6 +5,8 @@ from .checkpoint import (
     save_world,
     save_world_atomic,
 )
+from .compile_cache import cache_entries, default_cache_dir, enable_compile_cache
 
 __all__ = ["load_particles", "load_world", "save_particles", "save_world",
-           "save_world_atomic"]
+           "save_world_atomic", "enable_compile_cache", "default_cache_dir",
+           "cache_entries"]

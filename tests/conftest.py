@@ -38,6 +38,7 @@ SMOKE = {
     "test_app.py::test_run_save_render",
     "test_autodiff.py::test_rollout_matches_world",
     "test_collisions.py::test_two_body_merge_conserves_everything",
+    "test_compile_cache.py::test_entries_persist_and_are_counted",
     "test_extra_force.py::test_uniform_field_matches_euler_closed_form",
     "test_multihost.py::test_single_process_equivalence",
     "test_bench.py::test_bench_world_returns_us",
