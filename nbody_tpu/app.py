@@ -324,7 +324,32 @@ def cmd_view(args) -> None:
         Viewer(w, phys_step=args.dt).run()
 
 
+_SUBCOMMANDS = ("run", "render", "gif", "view")
+
+
+def _fix_bare_compile_cache(argv):
+    """Let the documented bare form ``--compile-cache run ...`` parse.
+
+    With ``nargs='?'`` argparse would greedily consume the subcommand name
+    as DIR; insert an explicit empty DIR when the next token is a
+    subcommand or another option so both documented forms work.
+    """
+    argv = list(argv)
+    for i, tok in enumerate(argv):
+        if tok == "--compile-cache":
+            nxt = argv[i + 1] if i + 1 < len(argv) else None
+            if nxt is None or nxt in _SUBCOMMANDS or nxt.startswith("-"):
+                argv.insert(i + 1, "")
+            break
+        if not tok.startswith("-"):  # subcommand reached; later flags are its own
+            break
+    return argv
+
+
 def main(argv=None) -> None:
+    if argv is None:
+        argv = sys.argv[1:]
+    argv = _fix_bare_compile_cache(argv)
     ap = argparse.ArgumentParser(prog="nbody_tpu", description=__doc__)
     ap.add_argument("--compile-cache", nargs="?", const="", default=None,
                     metavar="DIR",

@@ -66,7 +66,15 @@ def enable_compile_cache(
     """
     path = Path(cache_dir or default_cache_dir())
     path.mkdir(parents=True, exist_ok=True)
+    prev = jax.config.jax_compilation_cache_dir
     jax.config.update("jax_compilation_cache_dir", str(path))
+    if prev != str(path):
+        # JAX materializes its persistent-cache singleton at first use; a
+        # config update alone would leave a live cache pointed at whatever
+        # directory was active then (even a since-unset one). Reset so the
+        # next compile re-reads the config.
+        from jax.experimental.compilation_cache import compilation_cache
+        compilation_cache.reset_cache()
     jax.config.update("jax_persistent_cache_min_compile_time_secs",
                       float(min_compile_time_secs))
     # Entry size floor off: the time floor above is the real policy knob.

@@ -42,9 +42,14 @@ class LibcRand:
         table = [0] * 31
         table[0] = word & 0xFFFFFFFF
         for i in range(1, 31):
-            # Schrage's method, as glibc writes it; for in-range words this
-            # equals 16807 * word mod (2^31 - 1) and never overflows int32.
-            hi, lo = divmod(word, 127773)
+            # Schrage's method, as glibc writes it; for positive words this
+            # equals 16807 * word mod (2^31 - 1).  C's `/` and `%` truncate
+            # toward zero — Python's divmod floors — so for the negative
+            # int32 words produced by seeds >= 2^31 we must divide on the
+            # magnitude and restore the signs (C99 6.5.5: quotient truncates,
+            # remainder takes the dividend's sign).
+            q, m = divmod(abs(word), 127773)
+            hi, lo = (-q, -m) if word < 0 else (q, m)
             word = 16807 * lo - 2836 * hi
             if word < 0:
                 word += _MERSENNE31

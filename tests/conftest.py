@@ -58,6 +58,8 @@ SMOKE = {
     "test_golden.py::test_golden_scene_regeneration",
     "test_integrators.py::test_default_is_euler_reference_semantics",
     "test_invariants.py::test_two_body_circular_orbit",
+    "test_libc_scene.py::test_libc_rand_known_answers",
+    "test_libc_scene.py::test_scene_bitexact_vs_committed_reference_dump",
     "test_observables.py::test_custom_capture",
     "test_p3m.py::test_close_pair_is_reference_exact",
     "test_p3m.py::test_config_validation",
@@ -83,6 +85,9 @@ SMOKE = {
 SMOKE_PARAMS = {
     "test_ring_kernel.py::test_fused_ring_matches_single_device": "[2]",
     "test_sharding.py::test_sharded_matches_single_device": "[2]",
+    "test_libc_scene.py::test_libc_rand_known_answers": "[11037]",
+    "test_libc_scene.py::test_scene_bitexact_vs_committed_reference_dump":
+        "[300-1-3017237295]",
 }
 
 

@@ -68,3 +68,44 @@ def test_default_dir_env_override(monkeypatch, tmp_path):
     monkeypatch.delenv("NBODY_TPU_CACHE_DIR")
     monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path / "xdg"))
     assert default_cache_dir() == str(tmp_path / "xdg" / "nbody_tpu" / "xla")
+
+def test_cli_bare_flag_before_subcommand(tmp_path, restore_cache_config,
+                                         monkeypatch):
+    """The documented bare form: --compile-cache run ... (round-4 ADVICE).
+
+    With nargs='?' argparse used to eat the subcommand name as DIR; the
+    argv preprocessor must keep both forms working.
+    """
+    monkeypatch.setenv("NBODY_TPU_CACHE_DIR", str(tmp_path / "barecache"))
+    main(["--compile-cache", "run", "--n", "250", "--galaxies", "1",
+          "--steps", "2"])
+    assert jax.config.jax_compilation_cache_dir == str(tmp_path / "barecache")
+    assert (tmp_path / "barecache").is_dir()
+
+
+def test_recall_with_new_dir_redirects_live_cache(tmp_path,
+                                                  restore_cache_config):
+    """Re-calling with a different directory must redirect entries even
+    after the cache singleton initialized (round-4 ADVICE: reset_cache)."""
+    first = str(tmp_path / "first")
+    second = str(tmp_path / "second")
+    enable_compile_cache(first, min_compile_time_secs=0.0)
+
+    salt = float(uuid.uuid4().int % 1009)
+
+    @jax.jit
+    def f(x):
+        return jnp.cos(x) + salt
+
+    f(jnp.arange(32, dtype=jnp.float32)).block_until_ready()
+    assert cache_entries(first) > 0
+
+    enable_compile_cache(second, min_compile_time_secs=0.0)
+    salt2 = float(uuid.uuid4().int % 1013)
+
+    @jax.jit
+    def g(x):
+        return jnp.tan(x) * salt2
+
+    g(jnp.arange(32, dtype=jnp.float32)).block_until_ready()
+    assert cache_entries(second) > 0

@@ -1,0 +1,206 @@
+"""Bit-exact reference-scene parity: LibcRand + make_galaxies_libc.
+
+Three evidence tiers, strongest available wins (SURVEY.md §4; VERDICT r4
+task 1):
+
+1. Known-answer tests for ``LibcRand`` against embedded glibc streams —
+   run everywhere, no compiler or glibc needed. Seeds cover both int32
+   sign regimes (the >= 2**31 range regressed in round 4 because C
+   truncating division differs from Python floor division).
+2. Live cross-check against the in-process libc ``rand()`` via ctypes
+   (glibc only — other libcs implement a different generator).
+3. Bitwise comparison of ``make_galaxies_libc`` scenes against committed
+   hex dumps produced by the REFERENCE'S OWN ``MakeGalaxies``
+   (``/root/reference/src/lib/galaxy.c:31-221``) compiled in place by
+   ``scripts/ref_scene_dump.c`` — plus a live re-dump when gcc and the
+   reference tree are present, so the goldens themselves are auditable.
+
+Golden files: tests/data/ref_scene_*.hex (one particle per line:
+``pos.x pos.y vel.x vel.y mass radius`` as C ``%a`` hex floats).
+"""
+
+import ctypes
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from nbody_tpu.models import make_galaxies_libc
+from nbody_tpu.models.galaxy_ref import available as libm_available
+from nbody_tpu.utils.libc_rand import LibcRand
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+REFERENCE = "/root/reference"
+
+# glibc rand() streams captured from a live glibc (first 10 draws after
+# srand(seed)). Seed 0 is coerced to 1 by glibc itself.
+GLIBC_STREAMS = {
+    0: [1804289383, 846930886, 1681692777, 1714636915, 1957747793,
+        424238335, 719885386, 1649760492, 596516649, 1189641421],
+    1: [1804289383, 846930886, 1681692777, 1714636915, 1957747793,
+        424238335, 719885386, 1649760492, 596516649, 1189641421],
+    11037: [899087131, 1282946591, 651124729, 1098910731, 1832318011,
+            1536762943, 132040592, 1411154567, 1571915120, 1116460965],
+    2147483647: [1065668062, 2142264300, 1066566375, 1064012770, 2141034222,
+                 1065509725, 2135810236, 2139491828, 2138030783, 2133535487],
+    2147483648: [1336741213, 1210407648, 1447044896, 337392383, 82502902,
+                 538660432, 1313908778, 370221063, 344413073, 1896089129],
+    3017237295: [577330504, 1033658201, 81886772, 1329578686, 920299424,
+                 1859184072, 175072044, 1337363787, 1068990737, 183830321],
+    4294967295: [254925627, 1205188300, 366127624, 1401405153, 76053476,
+                 1604170158, 1302235366, 362229243, 334960208, 1882140968],
+}
+
+SCENE_GOLDENS = [(2000, 2, 11037), (5000, 3, 1), (300, 1, 3017237295)]
+
+
+def _is_glibc() -> bool:
+    try:
+        import platform
+        lib, _ = platform.libc_ver()
+        return lib == "glibc"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def load_hex_dump(path):
+    """Parse a ref_scene_dump hex-float file into an (N, 6) float32 array."""
+    rows = [[np.float32(float.fromhex(tok)) for tok in line.split()]
+            for line in open(path)]
+    return np.array(rows, np.float32)
+
+
+def particles_as_rows(p):
+    """Particles pytree -> (N, 6) float32 in dump column order."""
+    return np.concatenate(
+        [np.asarray(p.pos), np.asarray(p.vel),
+         np.asarray(p.mass)[:, None], np.asarray(p.radius)[:, None]], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Tier 1: embedded known-answer tests (run everywhere)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("seed", sorted(GLIBC_STREAMS))
+def test_libc_rand_known_answers(seed):
+    assert LibcRand(seed).draw(10) == GLIBC_STREAMS[seed]
+
+
+def test_libc_rand_long_stream_no_drift():
+    # The lagged-Fibonacci table wraps every 31 draws; run far past several
+    # wraps and spot-check against a live-glibc capture.
+    stream = LibcRand(11037).draw(10_000)
+    assert stream[0] == 899087131      # live-glibc captures, deep into the
+    assert stream[999] == 136281895    # stream (hundreds of table wraps)
+    assert stream[9999] == 1032575977
+    assert all(0 <= v < 2**31 for v in stream)
+    assert LibcRand(11037).draw(10_000) == stream
+
+
+def test_libc_rand_seed_zero_equals_one():
+    assert LibcRand(0).draw(32) == LibcRand(1).draw(32)
+
+
+# ---------------------------------------------------------------------------
+# Tier 2: live in-process glibc cross-check
+# ---------------------------------------------------------------------------
+
+@pytest.mark.skipif(not _is_glibc(), reason="live rand() is only glibc's")
+@pytest.mark.parametrize("seed", [1, 2, 11037, 2**31 - 1, 2**31,
+                                  3017237295, 2**32 - 1, 123456789])
+def test_libc_rand_matches_live_glibc(seed):
+    libc = ctypes.CDLL(None)
+    libc.srand(seed % 2**32)
+    live = [libc.rand() for _ in range(500)]
+    assert LibcRand(seed).draw(500) == live
+
+
+# ---------------------------------------------------------------------------
+# Tier 3: bit-exact scenes vs the reference's own MakeGalaxies output
+# ---------------------------------------------------------------------------
+
+@pytest.mark.skipif(not libm_available(),
+                    reason="bit-exactness needs the platform libm via ctypes")
+@pytest.mark.parametrize("n,g,seed", SCENE_GOLDENS)
+def test_scene_bitexact_vs_committed_reference_dump(n, g, seed):
+    golden = load_hex_dump(
+        os.path.join(DATA, f"ref_scene_n{n}_g{g}_seed{seed}.hex"))
+    ours = particles_as_rows(make_galaxies_libc(n, g, seed=seed))
+    assert golden.shape == ours.shape
+    assert np.array_equal(golden.view(np.uint32), ours.view(np.uint32)), (
+        "scene differs bitwise from the reference dump at rows "
+        f"{np.argwhere(golden.view(np.uint32) != ours.view(np.uint32))[:5]}")
+
+
+def _build_ref_scene_dump(tmpdir) -> str | None:
+    """Compile scripts/ref_scene_dump.c against /root/reference in place."""
+    gcc = shutil.which("gcc") or shutil.which("cc")
+    if gcc is None or not os.path.isdir(REFERENCE):
+        return None
+    src = os.path.join(os.path.dirname(__file__), "..", "scripts",
+                       "ref_scene_dump.c")
+    exe = os.path.join(tmpdir, "ref_scene_dump")
+    cmd = [gcc, "-O2", "-DNDEBUG",
+           f"-I{REFERENCE}/include", f"-I{REFERENCE}/src/lib",
+           src, f"{REFERENCE}/src/lib/galaxy.c",
+           f"{REFERENCE}/src/lib/sim_cpu.c", "-lm", "-o", exe]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    except (subprocess.CalledProcessError, subprocess.TimeoutExpired):
+        return None
+    return exe
+
+
+@pytest.mark.skipif(not libm_available(),
+                    reason="bit-exactness needs the platform libm via ctypes")
+def test_scene_bitexact_vs_live_reference_binary(tmp_path):
+    """Re-dump from the reference's own compiled galaxy.c and compare live.
+
+    This is the audit path for the committed goldens: it proves they are
+    what the reference binary emits today, not a stale artifact.
+    """
+    exe = _build_ref_scene_dump(str(tmp_path))
+    if exe is None:
+        pytest.skip("gcc or /root/reference unavailable")
+    n, g, seed = 600, 2, 20260820
+    out = subprocess.run([exe, str(n), str(g), str(seed)],
+                         check=True, capture_output=True, text=True,
+                         timeout=120).stdout
+    rows = [[np.float32(float.fromhex(tok)) for tok in line.split()]
+            for line in out.strip().splitlines()]
+    ref = np.array(rows, np.float32)
+    ours = particles_as_rows(make_galaxies_libc(n, g, seed=seed))
+    assert np.array_equal(ref.view(np.uint32), ours.view(np.uint32))
+
+
+@pytest.mark.skipif(not _is_glibc(), reason="raw stream check is glibc-only")
+def test_rand_stream_vs_live_reference_binary(tmp_path):
+    """--rand mode: the clone's raw stream vs the compiled reference's."""
+    exe = _build_ref_scene_dump(str(tmp_path))
+    if exe is None:
+        pytest.skip("gcc or /root/reference unavailable")
+    seed = 3017237295  # the regime the round-4 LibcRand bug broke
+    out = subprocess.run([exe, "2000", "_", str(seed), "--rand"],
+                         check=True, capture_output=True, text=True,
+                         timeout=120).stdout
+    live = [int(v) for v in out.split()]
+    assert LibcRand(seed).draw(2000) == live
+
+
+def test_scene_structure_massless_rule():
+    """Massless tracers have radius 0.5; massive radii lie in the NP band
+    or the galaxy-core band (galaxy.h:30-37, galaxy.c:205-212)."""
+    p = make_galaxies_libc(500, 2, seed=7)
+    mass = np.asarray(p.mass)
+    radius = np.asarray(p.radius)
+    massless = mass == 0.0
+    assert massless.any() and (~massless).any()
+    assert np.all(radius[massless] == np.float32(0.5))
+    massive_r = radius[~massless]
+    in_np_band = (massive_r >= 1.5) & (massive_r <= 9.5)
+    in_core_band = (massive_r >= 200.0) & (massive_r <= 600.0)
+    assert np.all(in_np_band | in_core_band)
+    assert in_core_band.sum() == 2  # one core per galaxy
