@@ -20,6 +20,22 @@ GOLDEN_GRID = SimConfig(pm_grid=64, pm_softening=2.0, p3m_rc_cells=4,
                         p3m_cell_capacity=96, p3m_exact_targets=64)
 
 
+def load_hex_dump(path):
+    """Parse a scripts/ref_scene_dump.c hex-float file (one particle per
+    line: ``pos.x pos.y vel.x vel.y mass radius`` as C ``%a`` floats, in
+    generation order) into an (N, 6) float32 array."""
+    rows = [[np.float32(float.fromhex(tok)) for tok in line.split()]
+            for line in open(path)]
+    return np.array(rows, np.float32)
+
+
+def particles_as_rows(p):
+    """Particles pytree -> (N, 6) float32 in ref_scene_dump column order."""
+    return np.concatenate(
+        [np.asarray(p.pos), np.asarray(p.vel),
+         np.asarray(p.mass)[:, None], np.asarray(p.radius)[:, None]], axis=1)
+
+
 def random_particles(n, seed=0, massless_frac=0.3):
     rng = np.random.default_rng(seed)
     pos = (100 * rng.normal(size=(n, 2))).astype(np.float32)

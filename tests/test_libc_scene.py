@@ -28,6 +28,7 @@ import sys
 import numpy as np
 import pytest
 
+from helpers import load_hex_dump, particles_as_rows
 from nbody_tpu.models import make_galaxies_libc
 from nbody_tpu.models.galaxy_ref import available as libm_available
 from nbody_tpu.utils.libc_rand import LibcRand
@@ -64,20 +65,6 @@ def _is_glibc() -> bool:
         return lib == "glibc"
     except Exception:  # pragma: no cover
         return False
-
-
-def load_hex_dump(path):
-    """Parse a ref_scene_dump hex-float file into an (N, 6) float32 array."""
-    rows = [[np.float32(float.fromhex(tok)) for tok in line.split()]
-            for line in open(path)]
-    return np.array(rows, np.float32)
-
-
-def particles_as_rows(p):
-    """Particles pytree -> (N, 6) float32 in dump column order."""
-    return np.concatenate(
-        [np.asarray(p.pos), np.asarray(p.vel),
-         np.asarray(p.mass)[:, None], np.asarray(p.radius)[:, None]], axis=1)
 
 
 # ---------------------------------------------------------------------------

@@ -202,3 +202,166 @@ def test_symplectic_integrators_bounded_over_10k_steps(integrator):
         worst = max(worst, abs(e - e0) / abs(e0))
     assert np.all(np.isfinite(np.asarray(world.particles.pos)))
     assert worst < 1e-3, worst
+
+
+# ---------------------------------------------------------------------------
+# The BASELINE north star, literally: trajectory parity against the
+# REFERENCE'S OWN compiled binary (not our C++ re-implementation).
+#
+# ICs are bit-exact (models/galaxy_ref.make_galaxies_libc reproduces
+# MakeGalaxies to the last bit, tests/test_libc_scene.py); the goldens are
+# dumps of the reference's real PackParticles/PackedUpdate substep loop
+# (world.c:99-110, sim_cpu.c:156-194) on the bench scene (seed 11037, 2
+# galaxies — bench.c:42,53), produced by scripts/make_ref_goldens.sh from
+# /root/reference compiled in place.
+#
+# Tolerances are CALIBRATED against the reference's own fp32 noise: the AVX
+# and scalar builds of the same reference code differ only in summation
+# order, and at 20 steps already disagree by up to 6.3e-8 relative position
+# (tail 1.4e-4 at 100 steps; at 10k steps they disagree on kinetic energy by
+# 4.9x — symplectic Euler through close encounters is chaotic, so past the
+# Lyapunov horizon pointwise closeness is information-free and parity is
+# asserted on robust aggregates vs the self-noise measured from the two
+# committed reference builds).
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+from helpers import PRECISE, load_hex_dump
+from nbody_tpu.models import make_galaxies_libc
+from nbody_tpu.world import partition_massive_first
+
+_DATA = _os.path.join(_os.path.dirname(__file__), "data")
+_REF_TRAJ = "ref_traj_n2000_g2_seed11037_s{steps}_dt0.01.hex"
+
+
+def _bitexact_world_and_golden(steps, flavor=""):
+    """(world from the bit-exact IC, golden rows permuted to world order)."""
+    ic = make_galaxies_libc(2000, 2, seed=11037)
+    perm, _ = partition_massive_first(np.asarray(ic.mass))
+    name = _REF_TRAJ.format(steps=steps)
+    if flavor:
+        name = name.replace("ref_traj_", f"ref_traj_{flavor}_")
+    golden = load_hex_dump(_os.path.join(_DATA, name))[perm]
+    return create_world(ic, config=PRECISE), golden
+
+
+@pytest.mark.parametrize("backend", ["jnp", "pallas"])
+def test_reference_binary_pointwise_20_steps(backend):
+    """Pointwise parity at 20 substeps — inside the Lyapunov horizon, where
+    the reference agrees with ITSELF (AVX vs scalar) to 6.3e-8 relative
+    position / 4.5e-7 velocity. The framework must sit at that same noise
+    floor (measured: 6.3e-8 / 4.5e-7); tolerance is ~8x headroom."""
+    w, golden = _bitexact_world_and_golden(20)
+    w.update(0.01, 20, backend=backend)
+    got = w.particles
+    np.testing.assert_array_equal(np.asarray(got.mass), golden[:, 4])
+    np.testing.assert_array_equal(np.asarray(got.radius), golden[:, 5])
+    pos_scale = np.abs(golden[:, :2]).max()
+    vel_scale = np.abs(golden[:, 2:4]).max()
+    dpos = np.abs(np.asarray(got.pos) - golden[:, :2]).max() / pos_scale
+    dvel = np.abs(np.asarray(got.vel) - golden[:, 2:4]).max() / vel_scale
+    assert dpos < 5e-7, f"rel pos error vs reference binary {dpos:.2e}"
+    assert dvel < 5e-6, f"rel vel error vs reference binary {dvel:.2e}"
+
+
+def test_reference_binary_pointwise_100_steps():
+    """100 substeps: the reference's own AVX-vs-scalar spread reaches 1.4e-4
+    relative position / 2.8e-2 velocity (close-encounter tail); the
+    framework's measured distance from the AVX build is 8.6e-6 / 6.9e-3 —
+    i.e. CLOSER to the reference than the reference is to itself. Assert
+    within the self-noise envelope."""
+    w, golden = _bitexact_world_and_golden(100)
+    w.update(0.01, 100, backend="jnp")
+    got = w.particles
+    pos_scale = np.abs(golden[:, :2]).max()
+    vel_scale = np.abs(golden[:, 2:4]).max()
+    dpos = np.abs(np.asarray(got.pos) - golden[:, :2]).max() / pos_scale
+    dvel = np.abs(np.asarray(got.vel) - golden[:, 2:4]).max() / vel_scale
+    assert dpos < 1.5e-4, f"rel pos error vs reference binary {dpos:.2e}"
+    assert dvel < 3e-2, f"rel vel error vs reference binary {dvel:.2e}"
+
+
+def _robust_metrics(rows):
+    """Aggregates that survive the Lyapunov horizon: center of mass (a true
+    integral of motion up to the model's F_ij != -F_ji softening asymmetry),
+    total momentum, and radial mass-distribution quantiles."""
+    pos = rows[:, :2].astype(np.float64)
+    vel = rows[:, 2:4].astype(np.float64)
+    m = rows[:, 4].astype(np.float64)
+    com = (m[:, None] * pos).sum(0) / m.sum()
+    mom = (m[:, None] * vel).sum(0)
+    r = np.linalg.norm(pos - com, axis=1)
+    return com, mom, np.quantile(r, [0.1, 0.5, 0.9])
+
+
+@pytest.mark.slow
+def test_reference_binary_10k_steps():
+    """The north star at full horizon: 10,000 substeps from the bit-exact IC
+    vs the reference binary's own 10k-step state.
+
+    Past the Lyapunov horizon two CORRECT fp32 builds of the reference
+    itself (AVX vs scalar packs — committed as the second golden) disagree
+    pointwise by O(1), so parity is asserted the only meaningful way: the
+    framework's deviation from the reference on robust aggregates must be
+    within 4x the reference's own build-to-build deviation (floors cover
+    metrics where the self-noise is accidentally tiny). Measured (jnp,
+    precise=True): com 1.3e-3 vs self 7.5e-4 of median radius; momentum
+    2.3e-2 vs 2.3e-2; radial quantiles <=9.8e-2 vs <=1.6e-1."""
+    w, avx = _bitexact_world_and_golden(10000)
+    _, scalar = _bitexact_world_and_golden(10000, flavor="scalar")
+    w.update(0.01, 10_000, backend="jnp")
+    got = w.particles
+    rows = np.concatenate(
+        [np.asarray(got.pos), np.asarray(got.vel),
+         np.asarray(got.mass)[:, None], np.asarray(got.radius)[:, None]],
+        axis=1)
+    assert np.isfinite(rows).all()
+    np.testing.assert_array_equal(rows[:, 4], avx[:, 4])  # mass bit-exact
+
+    com_a, mom_a, rq_a = _robust_metrics(avx)
+    com_s, mom_s, rq_s = _robust_metrics(scalar)
+    com_f, mom_f, rq_f = _robust_metrics(rows)
+
+    r_med = rq_a[1]
+    mom_scale = np.linalg.norm(mom_a)
+
+    def dev(com, mom, rq):
+        return (np.linalg.norm(com - com_a) / r_med,
+                np.linalg.norm(mom - mom_a) / mom_scale,
+                np.abs(rq - rq_a) / rq_a)
+
+    self_com, self_mom, self_rq = dev(com_s, mom_s, rq_s)
+    fw_com, fw_mom, fw_rq = dev(com_f, mom_f, rq_f)
+
+    assert fw_com < 4 * max(self_com, 1e-3), (fw_com, self_com)
+    assert fw_mom < 4 * max(self_mom, 1e-2), (fw_mom, self_mom)
+    assert np.all(fw_rq < 4 * np.maximum(self_rq, 5e-2)), (fw_rq, self_rq)
+
+
+def test_reference_binary_live_redump(tmp_path):
+    """Audit path: recompile the reference from /root/reference in place,
+    re-dump a 20-step trajectory at a DIFFERENT seed than the committed
+    goldens, and assert pointwise parity — proves the goldens' provenance
+    pipeline works end-to-end today, not just when they were committed."""
+    from test_libc_scene import _build_ref_scene_dump
+    import subprocess
+
+    exe = _build_ref_scene_dump(str(tmp_path))
+    if exe is None:
+        pytest.skip("gcc or /root/reference unavailable")
+    n, g, seed, steps, dt = 800, 2, 424242, 20, 0.01
+    out = subprocess.run(
+        [exe, str(n), str(g), str(seed), "--steps", str(steps), str(dt)],
+        check=True, capture_output=True, text=True, timeout=300).stdout
+    rows = [[np.float32(float.fromhex(t)) for t in line.split()]
+            for line in out.strip().splitlines()]
+    ic = make_galaxies_libc(n, g, seed=seed)
+    perm, _ = partition_massive_first(np.asarray(ic.mass))
+    golden = np.array(rows, np.float32)[perm]
+    w = create_world(ic, config=PRECISE)
+    w.update(dt, steps, backend="jnp")
+    got = w.particles
+    dpos = (np.abs(np.asarray(got.pos) - golden[:, :2]).max()
+            / np.abs(golden[:, :2]).max())
+    assert dpos < 5e-6, f"rel pos error vs live reference binary {dpos:.2e}"
