@@ -198,9 +198,36 @@ def run_primary(args) -> dict:
         result["pallas_pairs_per_sec"] = pairs / (pus / 1e6)
         log(f"pallas kernel: {pus:.1f} µs/step "
             f"{result['pallas_pairs_per_sec']:.3e} pairs/s")
+        if backend != "pallas" and pus < result["primary_us_per_step"]:
+            # Tripwire (round-4 VERDICT task 7): PALLAS_CROSSOVER_N = None
+            # (pallas never preferred) is backed by a complete ablation on
+            # TODAY'S jaxlib (DESIGN.md §3) — but the conclusion is
+            # jaxlib-version-dependent. The kernel beating the primary in a
+            # round's gate means the crossover must be re-measured.
+            result["revisit_pallas_crossover"] = True
+            log("NOTE: pallas beat the primary backend this round — "
+                "re-measure world.PALLAS_CROSSOVER_N (DESIGN.md §3 tripwire)")
         ring = ring_virtual8()
         result["ring_virtual8"] = ring
         log(f"ring virtual-8: {ring}")
+        # Grid-backend gates (round-4 VERDICT task 4): p3m/pm are what
+        # `auto` actually selects above AUTO_P3M_MIN_PAIRS; without a
+        # driver-visible number a CIC/FFT/PP perf regression is silent.
+        # Measured at the auto-selected regime (N=262144, BASELINE.json's
+        # sharded-config size, on however many chips are present — one
+        # here), like bench.c:25-35 measuring every backend it ships.
+        gn = args.grid_gate_n
+        if gn:
+            gw = make_world(gn)
+            for gb in ("p3m", "pm"):
+                gus = min(bench_world(gw, gb, iters=20,
+                                      warmup=3 if r == 0 else 0)
+                          for r in range(2))
+                result[f"{gb}_us_per_step_n{gn}"] = gus
+                log(f"{gb} @ N={gn}: {gus:.1f} µs/step "
+                    f"({gw.total_len * gw.mass_len / (gus / 1e6):.3e} "
+                    f"equivalent pairs/s)")
+            del gw
     return result
 
 
@@ -212,24 +239,12 @@ def device_probe(timeout: float, attempts: int, interval: float = 60.0,
     Remote-attached devices (the v5e tunnel here) have wedge phases where
     even a 128-element matmul hangs indefinitely — which would hang this
     whole process at the first compile. Probe in a killable subprocess so a
-    dead backend turns into a clean failure (TPU_STATUS_r03.md)."""
-    force = (f"jax.config.update('jax_platforms', {platform!r}); "
-             if platform else "")
-    code = (f"import jax, jax.numpy as jnp; {force}"
-            "print(float((jnp.ones((8, 128)) @ jnp.ones((128, 8))).sum()))")
-    for i in range(attempts):
-        if i:
-            time.sleep(interval)
-        try:
-            r = subprocess.run([sys.executable, "-c", code],
-                               capture_output=True, timeout=timeout)
-            if r.returncode == 0:
-                return True
-            log(f"device probe {i + 1}/{attempts}: exit {r.returncode}: "
-                f"{r.stderr.decode(errors='replace').strip()[-200:]}")
-        except subprocess.TimeoutExpired:
-            log(f"device probe {i + 1}/{attempts}: hung > {timeout:.0f}s")
-    return False
+    dead backend turns into a clean failure (TPU_STATUS_r03.md). The same
+    guard protects the user-facing CLI via utils.check_device."""
+    from nbody_tpu.utils.device_check import probe_device
+
+    return probe_device(timeout, attempts, interval=interval,
+                        platform=platform, log=log)
 
 
 def main():
@@ -255,6 +270,10 @@ def main():
     ap.add_argument("--no-kernel-gates", action="store_true",
                     help="skip the pallas-kernel and virtual-8-ring gate "
                          "records in the primary JSON line")
+    ap.add_argument("--grid-gate-n", type=int, default=262144,
+                    help="N for the p3m/pm gate records in the primary "
+                         "JSON line (the auto-selected grid regime); "
+                         "0 disables")
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="capture a jax.profiler trace of the primary run "
                          "into DIR (view in TensorBoard/Perfetto)")

@@ -410,6 +410,18 @@ def main(argv=None) -> None:
     if args.compile_cache is not None:
         from .utils import enable_compile_cache
         enable_compile_cache(args.compile_cache or None)
+    from .utils.device_check import (
+        DeviceUnreachableError, check_device, looks_remote_attached)
+    if looks_remote_attached():
+        # Remote-attached devices (TPU tunnels) can wedge such that the
+        # first device touch blocks FOREVER; fail in seconds with the
+        # remedy instead (round-4 VERDICT task 5). Local backends skip the
+        # probe — they fail fast on their own. NBODY_TPU_NO_PROBE=1 skips.
+        try:
+            check_device(log=lambda m: print(m, file=sys.stderr))
+        except DeviceUnreachableError as e:
+            print(f"nbody_tpu: {e}", file=sys.stderr)
+            raise SystemExit(3)
     args.fn(args)
 
 

@@ -2,9 +2,13 @@
 
 Reimplements the reference's ``src/lib/galaxy.c:31-221`` algorithm (same
 distributions and constants from ``include/galaxy.h:10-61``) on top of
-``numpy.random.Generator``. The libc ``rand()`` bitstream cannot be reproduced,
-so golden scenes are defined by *our* seeds; all structural invariants of the
-reference generator hold (see tests/test_galaxy.py).
+``numpy.random.Generator``. This production generator matches the
+reference's *distributions*, not its libc ``rand()`` bitstream — golden
+scenes are defined by our seeds. (The bitstream itself IS reproduced by the
+separate parity oracle ``models/galaxy_ref.make_galaxies_libc``, which this
+generator is cross-validated against at the distribution level in
+tests/test_generator_crossval.py; structural invariants in
+tests/test_galaxy.py.)
 
 Generation is one-shot O(N) host work (the reference's is too), so it stays in
 numpy; the per-particle synthesis loop (galaxy.c:179-216) is vectorized.

@@ -134,7 +134,7 @@ def _composite_pack(rows, oidx, okc, fills):
     (N, C) per-particle values, ``oidx[c, k] = order[starts[c] + k]`` is the
     precomputed composite slot->original-row index (position-independent,
     so frozen-bins-cacheable), ``okc`` masks slots beyond each cell's count.
-    Measured v5e, N=1M, gc=128, cap=96 (scripts/tune_r3e_block_pack.py):
+    Measured v5e, N=1M, gc=128, cap=96 (scripts/ablations/tune_r3e_block_pack.py):
     10.3 ms vs 16.0 ms for the production permute+per-slot-pack chain —
     the 1M-row permutation gather disappears. The oidx build costs ~10 ms
     itself, so this form only wins when oidx is reused across substeps
@@ -192,7 +192,7 @@ def _pp_apply(tgt_pos, tgt_radius, src_blocks, order_t, cid_t, rank_t,
     blocks in one gather of the ORIGINAL rows, and ``unpack = (flat, okm)``
     restores original order with one flat-index gather instead of the
     slot-gather + lax.sort chain (measured deltas in _composite_pack and
-    scripts/tune_r3e_block_pack.py).
+    scripts/ablations/tune_r3e_block_pack.py).
 
     ``compact``: opt-in active-cell compaction (requires ``chunk``; see
     :func:`p3m_acc` for semantics and the measured win).
@@ -295,7 +295,7 @@ def _pp_apply(tgt_pos, tgt_radius, src_blocks, order_t, cid_t, rank_t,
     use_compact = (compact and chunk and compact % chunk == 0
                    and compact < ncell and ncell % chunk == 0)
     if use_compact:
-        # Active-cell compaction (scripts/tune_r3i_pp_compact.py): the
+        # Active-cell compaction (scripts/ablations/tune_r3i_pp_compact.py): the
         # chunk-skip pays for a whole chunk when one cell in it is active;
         # compacting the active cells into a static ``compact``-row panel
         # (stable argsort actives-first) runs the pair map over actives
@@ -412,7 +412,7 @@ def p3m_acc_collective(
 
 def _composite_index_maps(order_s, counts_s, order_t, cid_t, rank_t,
                           counts_t, cap, grank_t=None):
-    """Composite pack/unpack index tables (scripts/tune_r3e_block_pack.py):
+    """Composite pack/unpack index tables (scripts/ablations/tune_r3e_block_pack.py):
     slot -> original-row maps for sources and targets plus the
     original-order unpack (flat index + validity). All position-independent
     given the cell orders, so ``p3m_bins``/``p3m_bins_collective`` build
@@ -638,7 +638,7 @@ def p3m_acc(
     row map (the surrounding program may still fuse ~1 ulp differently
     across recompiles). Galaxy scenes are clusters, so most chunks are
     empty: measured 1.09x on the full PP stage at N=1M
-    (scripts/tune_r3g_pp_skip.py). Ignored unless it divides gc².
+    (scripts/ablations/tune_r3g_pp_skip.py). Ignored unless it divides gc².
 
     ``pp_compact``: additionally compact the active cells into a static
     ``pp_compact``-row panel and run the (chunked) pair map over that panel
@@ -646,7 +646,7 @@ def p3m_acc(
     compaction's isn't. A ``lax.cond`` falls back to the full chunked map
     whenever the active-cell count exceeds ``pp_compact``, so results are
     exact at any setting; only speed depends on occupancy. Measured
-    (scripts/tune_r3i_pp_compact.py, N=1M/4gal, pp_compact=gc²/4): isolated
+    (scripts/ablations/tune_r3i_pp_compact.py, N=1M/4gal, pp_compact=gc²/4): isolated
     PP stage 80.5 → 70.4 ms vs the chunk skip. Requires ``pp_chunk`` and
     must be a multiple of it; ignored otherwise (or when >= gc²). Grad
     caveat matches ``pp_chunk``: sources with exactly zero gm in a dropped
@@ -698,7 +698,7 @@ def p3m_bins(
     order_t, cid_t, rank_t, counts_t = _cell_pack(tgt_pos, lo, inv_c, gc)
     extra = {}
     if composite_capacity is not None:
-        # Composite-index forms (scripts/tune_r3e_block_pack.py): cost ~30 ms
+        # Composite-index forms (scripts/ablations/tune_r3e_block_pack.py): cost ~30 ms
         # to build at N=1M but save ~15 ms per substep — net win exactly when
         # reused across substeps, so callers request them iff
         # p3m_rebin_interval > 1. All position-independent given the orders.

@@ -37,7 +37,7 @@ Design (v2 — what round-1 measurement taught us):
     9% at N=1M when the block was one 2048 chunk in rounds 2-3; +1.28%
     at blk=131072); manual in-kernel DMA pipelines measured strictly
     worse (+21% nested-loop / +68% flat form — see ``_stream_kernel``
-    and scripts/tune_r4*). Sources unlimited; callers pad S to the chunk
+    and scripts/ablations/tune_r4*). Sources unlimited; callers pad S to the chunk
     (tile_sources) only — the kernel splits S evenly into the fewest
     under-budget blocks and pads <= one chunk per block in-jit, with the
     last block's chunk loop statically shorter, so gm=0 padding costs
@@ -200,7 +200,7 @@ def _stream_kernel(
     chunk's <=2048 zero-contribution lanes remain), and the padded tail's
     DMA is bandwidth-trivial.
 
-    Why this structure (every alternative measured, scripts/tune_r4*):
+    Why this structure (every alternative measured, scripts/ablations/tune_r4*):
     manual in-kernel DMA forms lose 20-70% per pair — a nested block/chunk
     loop pays accumulator-carry costs at both loop levels, a flat
     chunk-granular DMA pipeline is DMA-latency-bound, and ``pl.when``

@@ -145,7 +145,7 @@ def _solve(rho, h, eps2, grid, rc=None):
 def _cic_gather(a_grid, tgt_pos, lo, inv_h, grid):
     """Bilinear 4-corner gather from the stacked (G, G, 2) force grid.
 
-    Shaped for TPU gather economics (measured, scripts/tune_r3d_cic.py):
+    Shaped for TPU gather economics (measured, scripts/ablations/tune_r3d_cic.py):
     XLA's gather costs ~6-9 ns per INDEX almost independent of how many
     contiguous bytes each index moves, so the 8 element-gathers per target
     (4 corners x 2 channels) are folded into ONE row-gather: the grid is

@@ -139,7 +139,7 @@ class SimConfig:
     # ring kernel; also the padding granule for world state. tile_sources:
     # source-chunk for all kernels. kernel_tile_targets: target tile of the
     # fused single-chip Pallas kernel (it halves itself until it divides the
-    # padded N). Defaults tuned on TPU v5e at N=65k (scripts/tune_r2*.py):
+    # padded N). Defaults tuned on TPU v5e at N=65k (scripts/ablations/tune_r2*.py):
     # the fused kernel runs (1024 x 2048) blocks with 128-wide slice FMAs
     # within the 16MB VMEM limit.
     tile_targets: int = 512
@@ -182,7 +182,7 @@ class SimConfig:
     # skipped cells' correction is exactly zero (the chunked map is
     # bit-identical; recompiled fusion elsewhere may differ by ~1 ulp).
     # Galaxy scenes are clusters (most chunks empty): measured 1.09x on
-    # the PP stage at N=1M (scripts/tune_r3g_pp_skip.py). 0 disables;
+    # the PP stage at N=1M (scripts/ablations/tune_r3g_pp_skip.py). 0 disables;
     # silently ignored when the value does not divide gc².
     p3m_pp_chunk: int = 64
     # Opt-in PP active-cell compaction: run the chunked pair map over a
@@ -190,7 +190,7 @@ class SimConfig:
     # (lax.cond falls back to the full map when actives overflow the
     # panel, so results are exact at any setting — only speed depends on
     # occupancy). Measured 80.5 -> 70.4 ms on the isolated PP stage at
-    # N=1M/4gal with gc²/4 = 4096 (scripts/tune_r3i_pp_compact.py). Must
+    # N=1M/4gal with gc²/4 = 4096 (scripts/ablations/tune_r3i_pp_compact.py). Must
     # be a multiple of p3m_pp_chunk; 0 disables (the default — both cond
     # arms stay compiled, so it costs compile time when on).
     p3m_pp_compact: int = 0

@@ -75,7 +75,7 @@ def default_backend_for(n: int) -> "Backend":
 # plus a fixed mesh cost. Bracketed by the v5e BENCHMARKS rows at default
 # config (direct sum 8.8 ms at N=65k vs p3m 73 ms at 262k where direct
 # costs 140 ms); the break-even is pinned same-session by
-# scripts/tune_r3h_crossover.py. "auto" picks direct sum at or below this
+# scripts/ablations/tune_r3h_crossover.py. "auto" picks direct sum at or below this
 # pair count, p3m above.
 AUTO_P3M_MIN_PAIRS = 16_000_000_000
 

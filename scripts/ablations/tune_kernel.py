@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Kernel autotune sweep on real TPU: tile sizes x precision mode.
 
-Usage: python scripts/tune_kernel.py [N] [--steps]
+Usage: python scripts/ablations/tune_kernel.py [N] [--steps]
 Reports pairs/s for the raw force kernel (and optionally the full fused step).
 """
 

@@ -22,7 +22,7 @@ Findings at N=1M, grid=512, gc=128, cap=96 (v5e):
     1M random gather 10.5 ms, 1.57M monotonic gather 14.6 ms,
     1M permutation scatter 9.5 ms (but 2-D block scatters are far worse)
 
-Run: python scripts/tune_r3b_p3m_bookkeeping.py  (takes ~5 min on TPU)
+Run: python scripts/ablations/tune_r3b_p3m_bookkeeping.py  (takes ~5 min on TPU)
 """
 import sys, time, functools
 sys.path.insert(0, ".")

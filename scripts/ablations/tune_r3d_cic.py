@@ -22,7 +22,7 @@ What's NOT yet tried: changing the SHAPE of the access, not its engine.
   R6: scatter as ONE (N,4)-row scatter-add into a (G^2, 4) staggered table
       + 4 shifted adds, vs the current 4 element scatter-adds.
 
-Run: python scripts/tune_r3d_cic.py  (on TPU; ~3 min)
+Run: python scripts/ablations/tune_r3d_cic.py  (on TPU; ~3 min)
 """
 import sys, time
 sys.path.insert(0, ".")

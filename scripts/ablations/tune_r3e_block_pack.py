@@ -20,7 +20,7 @@ Applying the tune_r3d lesson (TPU gather cost is per index) to the pack
   P3: unpack restore — current slot-gather + lax.sort vs ONE precomputed
       flat-index gather (index/mask also frozen-bins-cacheable).
 
-Run: python scripts/tune_r3e_block_pack.py  (on TPU; ~2 min)
+Run: python scripts/ablations/tune_r3e_block_pack.py  (on TPU; ~2 min)
 """
 import sys, time
 sys.path.insert(0, ".")

@@ -20,7 +20,7 @@ only when segment sums are tiny vs the running prefix; the experiment
 reports max/rel error vs a float64 reference alongside the fp32 scatter
 baseline's own error.
 
-Run: python scripts/tune_r3f_scatter.py [N] [G]  (TPU; ~2 min)
+Run: python scripts/ablations/tune_r3f_scatter.py [N] [G]  (TPU; ~2 min)
 
 MEASURED (v5e, N=1M, G=512, same session): S0 30.2 ms, S1 45.9 ms — the
 sort (+payload channels) and 4-channel cumsum cost more than the four

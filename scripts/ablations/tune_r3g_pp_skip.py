@@ -19,7 +19,7 @@ trades scan-iteration overhead against skipped pair math:
 Timed via the in-jit K-loop protocol (carried scalar dependency, RTT-
 subtracted by construction, same-session A/B only).
 
-Run: python -u scripts/tune_r3g_pp_skip.py [scene_idx [chunks...]]
+Run: python -u scripts/ablations/tune_r3g_pp_skip.py [scene_idx [chunks...]]
 (on TPU; one scene at a time survives tunnel wedges — each compile is
 ~30-60 s over the tunnel, so a full scene is ~5-10 min)
 """

@@ -4,7 +4,7 @@ world.update at N=1M/4 galaxies, pp_chunk 64 vs 0, rebin 1 and 8.
 Timing per the tunnel protocol: 32 substeps amortized in one jitted
 update (same-session deltas only).
 
-Run: python -u scripts/tune_r3g_world_ab.py   (on TPU; ~10 min)
+Run: python -u scripts/ablations/tune_r3g_world_ab.py   (on TPU; ~10 min)
 """
 import sys, time
 sys.path.insert(0, ".")

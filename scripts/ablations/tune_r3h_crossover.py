@@ -4,7 +4,7 @@
 p3m, across the N ladder. Timing per the tunnel protocol (>=32 substeps
 amortized in one jit; same-session A/B only).
 
-Run: python -u scripts/tune_r3h_crossover.py [N ...]   (on TPU; ~10 min)
+Run: python -u scripts/ablations/tune_r3h_crossover.py [N ...]   (on TPU; ~10 min)
 """
 import sys
 import time

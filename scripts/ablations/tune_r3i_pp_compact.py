@@ -14,7 +14,7 @@ so we know whether the fast path would engage on real scenes.
 
 Measured costs include the compaction gathers AND the route-back remap.
 
-Run: python -u scripts/tune_r3i_pp_compact.py [scene_idx [a_caps...]]
+Run: python -u scripts/ablations/tune_r3i_pp_compact.py [scene_idx [a_caps...]]
 (on TPU; one scene ~5-10 min including compiles)
 """
 import sys

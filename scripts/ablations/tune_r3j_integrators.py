@@ -8,7 +8,7 @@ evals); this pins the measured ratios for docs/BENCHMARKS.md.
 Timing per the tunnel protocol (32+ substeps amortized in one jitted
 update; best-of-2; same-session deltas only).
 
-Run: python -u scripts/tune_r3j_integrators.py [n_direct] [n_mesh] [steps]
+Run: python -u scripts/ablations/tune_r3j_integrators.py [n_direct] [n_mesh] [steps]
 (on TPU; ~6 min at defaults. Small arguments give a CPU smoke only —
 cross-platform numbers are meaningless.)
 """

@@ -16,7 +16,7 @@ Questions this pins for docs/BENCHMARKS.md:
 Timing per the tunnel protocol (32+ substeps amortized in one jitted
 update; best-of-2; same-session deltas only).
 
-Run: python -u scripts/tune_r3k_features.py [n] [steps]
+Run: python -u scripts/ablations/tune_r3k_features.py [n] [steps]
 (on TPU; ~4 min at defaults. Small arguments give a CPU smoke only.)
 """
 import dataclasses

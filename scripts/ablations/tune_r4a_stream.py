@@ -5,7 +5,7 @@ jnp backend, at the sizes where the round-3 grid-streamed form lost
 correctness check of the new DMA path (monkeypatched residency threshold,
 so the streaming kernel runs at a small, fast size on the real chip).
 
-Run: python -u scripts/tune_r4a_stream.py [N ...]   (on TPU)
+Run: python -u scripts/ablations/tune_r4a_stream.py [N ...]   (on TPU)
 """
 import sys
 import time

@@ -2,7 +2,7 @@
 """Shape probe for the round-4 in-kernel-DMA streaming kernel: tile_t cap /
 chunk / DMA-block variants vs the jnp backend at the streaming sizes.
 Each variant clears jit caches (STREAM_* are module globals, not static jit
-args). Run: python -u scripts/tune_r4b_stream_shapes.py [N]
+args). Run: python -u scripts/ablations/tune_r4b_stream_shapes.py [N]
 """
 import dataclasses
 import sys

@@ -4,7 +4,7 @@ and resident modes at the SAME source size (S ~ 130k, resident-capable), so
 the pair math is identical and only the machinery differs; then A/B the
 knobs (dimension_semantics, DMA block size) on whichever shows the gap.
 
-Run: python -u scripts/tune_r4c_stream_overhead.py   (on TPU, ~15 min)
+Run: python -u scripts/ablations/tune_r4c_stream_overhead.py   (on TPU, ~15 min)
 """
 import sys
 import time

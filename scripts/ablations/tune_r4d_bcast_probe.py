@@ -4,7 +4,7 @@ does this Mosaic version compile, and what do they cost? (Round-4 layout
 bug hunt: vector.broadcast of a sublane-replicated slice with a nonzero
 lane offset is 'Invalid input layout'.)
 
-Run: python -u scripts/tune_r4d_bcast_probe.py   (on TPU)
+Run: python -u scripts/ablations/tune_r4d_bcast_probe.py   (on TPU)
 """
 import functools
 import sys

@@ -28,6 +28,12 @@ if not os.environ.get("NBODY_TPU_TESTS"):
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)
 
+# The suite runs on the in-process CPU mesh, so the CLI's remote-attached
+# wedge probe (utils.check_device) would only burn a jax-import subprocess
+# per main() call under this image's axon environment. The probe's own tests
+# (test_device_check.py) opt back in with explicit scrubbed envs.
+os.environ.setdefault("NBODY_TPU_NO_PROBE", "1")
+
 
 # Fast CI tier: `pytest -m smoke` — a curated sub-60 s slice touching every
 # test module (round-2 VERDICT weak #5). Selected for cheapness (tiny N,

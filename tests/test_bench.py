@@ -44,6 +44,7 @@ def test_primary_kernel_gate_records(capsys):
         repeats = 1
         backend = "pallas"  # primary == pallas -> kernel number reused
         no_kernel_gates = False
+        grid_gate_n = 0
 
     import unittest.mock
     with unittest.mock.patch.object(bench, "ring_virtual8",
@@ -53,6 +54,57 @@ def test_primary_kernel_gate_records(capsys):
     assert result["pallas_pairs_per_sec"] > 0
     assert result["ring_virtual8"] == {"skipped": True}
     json.dumps(result)
+
+
+def test_primary_grid_gate_records(capsys):
+    """The grid backends (what `auto` selects at large N) get their own
+    driver-visible records (round-4 VERDICT task 4): a CIC/FFT/PP perf
+    regression must move a number in BENCH_r{N}.json."""
+    class Args:
+        n = 250
+        iters = 2
+        warmup = 1
+        repeats = 1
+        backend = "jnp"
+        no_kernel_gates = False
+        grid_gate_n = 2048
+
+    import unittest.mock
+    with unittest.mock.patch.object(bench, "ring_virtual8",
+                                    return_value={"skipped": True}):
+        result = bench.run_primary(Args())
+    assert result["p3m_us_per_step_n2048"] > 0
+    assert result["pm_us_per_step_n2048"] > 0
+    json.dumps(result)
+
+
+def test_primary_pallas_crossover_tripwire(capsys):
+    """If the pallas gate ever beats the jnp primary, the record must carry
+    the revisit flag (round-4 VERDICT task 7: PALLAS_CROSSOVER_N = None is
+    jaxlib-version-dependent and needs a tripwire, DESIGN.md §3)."""
+    class Args:
+        n = 250
+        iters = 2
+        warmup = 1
+        repeats = 1
+        backend = "jnp"
+        no_kernel_gates = False
+        grid_gate_n = 0
+
+    import unittest.mock
+    with unittest.mock.patch.object(bench, "ring_virtual8",
+                                    return_value={"skipped": True}), \
+         unittest.mock.patch.object(bench, "bench_world",
+                                    side_effect=[100.0, 10.0, 20.0]):
+        result = bench.run_primary(Args())
+    assert result.get("revisit_pallas_crossover") is True
+    # and the honest case: pallas slower -> no flag
+    with unittest.mock.patch.object(bench, "ring_virtual8",
+                                    return_value={"skipped": True}), \
+         unittest.mock.patch.object(bench, "bench_world",
+                                    side_effect=[10.0, 100.0, 100.0]):
+        result = bench.run_primary(Args())
+    assert "revisit_pallas_crossover" not in result
 
 
 def test_ring_virtual8_gate():

@@ -180,7 +180,7 @@ def test_sharded_pm_leapfrog():
 
 def test_patch_row_gather_matches_naive_corner_gather():
     """The (G^2, 8) patch-row CIC gather (one index per target — TPU gather
-    costs per index, scripts/tune_r3d_cic.py) must be BIT-identical to the
+    costs per index, scripts/ablations/tune_r3d_cic.py) must be BIT-identical to the
     naive per-corner element gather it replaced: same corners, same weights,
     same corner order. Equal to fp32 contraction-order noise: XLA fuses
     (and fma's) the jitted patch form differently than the eager reference
