@@ -29,6 +29,9 @@ TESTS=(
   "tests/test_invariants.py::test_momentum_conserved"
   "tests/test_invariants.py::test_long_horizon_nan_free"
   "tests/test_trajectory.py::test_p3m_capture_matches_update_and_honors_rebin"
+  # north-star on hardware: the REAL compiled kernels against the reference
+  # binary's own 20-step trajectory from the bit-exact IC (round 5)
+  "tests/test_physics_validation.py::test_reference_binary_pointwise_20_steps"
 )
 for attempt in 1 2 3; do
   echo "=== tpu-smoke attempt $attempt $(date -u +%FT%TZ) ===" | tee -a "$OUT.tmp"
