@@ -101,3 +101,37 @@ def test_oracle_massless_rule():
     # and a massless-only source set exerts nothing: rerun with mass_len=0
     out0 = cpp_oracle.oracle_update(host, 0, 0.01, 1)
     np.testing.assert_array_equal(np.asarray(out0.acc), 0.0)
+
+
+def test_oracle_vs_reference_binary_goldens():
+    """The oracle itself measured against the REFERENCE'S OWN binary (the
+    committed ref_traj goldens, scripts/make_ref_goldens.sh): from the
+    bit-exact IC it reproduces the reference's 20-step state at the
+    reference's own AVX-vs-scalar noise floor (measured 6.3e-08 relative
+    position — not bit-exact: the oracle pre-multiplies G·m, a deliberate
+    structural difference; sim_cpu.c multiplies in the loop), and stays
+    within the self-noise tail at 100 steps (1.2e-4 vs 1.4e-4). This pins
+    the oracle's fidelity independently of the framework."""
+    from helpers import load_hex_dump
+    from nbody_tpu.models import make_galaxies_libc
+    from nbody_tpu.models.galaxy_ref import available as libm_available
+    from nbody_tpu.types import Particles
+    from nbody_tpu.world import partition_massive_first
+    import os
+
+    if not libm_available():
+        pytest.skip("bit-exact IC needs the platform libm via ctypes")
+    ic = make_galaxies_libc(2000, 2, seed=11037)
+    perm, mass_len = partition_massive_first(np.asarray(ic.mass))
+    part = Particles(
+        pos=np.asarray(ic.pos)[perm], vel=np.asarray(ic.vel)[perm],
+        acc=np.asarray(ic.acc)[perm], mass=np.asarray(ic.mass)[perm],
+        radius=np.asarray(ic.radius)[perm])
+    data = os.path.join(os.path.dirname(__file__), "data")
+    for steps, ptol in ((20, 5e-7), (100, 3e-4)):
+        got = cpp_oracle.oracle_update(part, mass_len, 0.01, steps)
+        golden = load_hex_dump(os.path.join(
+            data, f"ref_traj_n2000_g2_seed11037_s{steps}_dt0.01.hex"))[perm]
+        rel = (np.abs(np.asarray(got.pos) - golden[:, :2]).max()
+               / np.abs(golden[:, :2]).max())
+        assert rel < ptol, f"{steps} steps: rel pos {rel:.2e}"
