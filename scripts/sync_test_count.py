@@ -24,6 +24,7 @@ CLAIMS = [
     ("README.md", r"# (\d+) tests, ~\d+ min"),
     ("docs/TESTING.md", r"framework's (\d+)-test suite"),
     ("PARITY.md", r"pytest suite, (\d+) tests"),
+    ("docs/MIGRATION.md", r"a (\d+)-test suite"),
 ]
 
 
