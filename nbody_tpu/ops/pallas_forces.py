@@ -83,6 +83,56 @@ RESIDENT_SOURCE_MAX = 131072
 # (bandwidth-trivial, <0.1%) DMA of the padded tail block.
 STREAM_SRC_BLOCK = 131072
 
+# Largest whole-array target block accepted when legalizing a tile for the
+# Mosaic block-spec rule (the in-kernel compute materializes (tile_t, chunk)
+# values, so whole-array is only safe while that stays far under VMEM).
+WHOLE_TARGET_MAX = 4096
+
+
+def resolve_tile_targets(t: int, tile_targets: int, s: int,
+                         hardware: bool) -> int:
+    """Pick the target-tile width the kernel will actually use.
+
+    Halves the requested ``tile_targets`` until it divides ``t`` (the caller
+    pads targets to its own tile multiple, which may be smaller than the
+    request), capping at 512 for short source rows (S <= 4096 collapses the
+    chunk loop and widens Mosaic live ranges — measured +96 KB over the
+    16 MB scoped-VMEM budget at T=4096, S=2048).
+
+    ``hardware=True`` (a real Mosaic lowering, i.e. ``interpret=False``)
+    additionally legalizes the result against the TPU block-spec rule: the
+    lane dim of a block must be a multiple of 128 OR equal to the whole
+    array dim. Interpreter-sized tiles (tests use tile_targets=8) and
+    targets padded only to the 8-sublane minimum satisfy neither — the
+    interpreter accepts them, the hardware lowering raises. Legal fixups,
+    in order: bump to exactly 128 when 128 | t; fall back to one
+    whole-array block when t <= WHOLE_TARGET_MAX; otherwise fail with the
+    remedy (pad targets to a multiple of 128, as World's production
+    configs already do via their tile_targets).
+    """
+    tile_t = min(tile_targets, t)
+    if s <= 4096:
+        tile_t = min(tile_t, 512)
+    while t % tile_t and tile_t > TARGET_ALIGN:
+        tile_t //= 2
+    if t % tile_t or tile_t % TARGET_ALIGN:
+        raise ValueError(
+            f"T={t} must be divisible by a tile <= tile_targets={tile_targets} "
+            f"(align {TARGET_ALIGN})")
+    if hardware and tile_t % SOURCE_ALIGN and tile_t != t:
+        if t % SOURCE_ALIGN == 0:
+            tile_t = SOURCE_ALIGN
+        elif t <= WHOLE_TARGET_MAX:
+            tile_t = t
+        else:
+            raise ValueError(
+                f"target tile {tile_t} cannot lower on TPU: Mosaic requires "
+                f"the block's lane dim to be a multiple of {SOURCE_ALIGN} or "
+                f"the whole array, and T={t} admits neither — pad targets to "
+                f"a multiple of {SOURCE_ALIGN} (use tile_targets >= 128 so "
+                f"World pads for you)")
+    return tile_t
+
 
 def stream_block_len(tile_sources: int) -> int:
     """MAXIMUM streamed source-block width: STREAM_SRC_BLOCK rounded down
@@ -289,23 +339,13 @@ def _substep_call(
             f"tile_sources={tile_sources} must be a multiple of "
             f"{SOURCE_ALIGN} (the kernel accumulates in 128-wide slices)")
     resident = s <= max(RESIDENT_SOURCE_MAX, tile_sources)
-    tile_t = min(tile_targets, t)
-    # Short source rows collapse the chunk loop (n_full <= 1), which widens
-    # Mosaic live ranges enough that a (1024, 2048) block overflows the 16MB
-    # scoped-VMEM budget (measured: +96KB at T=4096, S=2048). Cap the target
-    # tile at 512 there; the loss is negligible at those latency-bound sizes.
-    if s <= 4096:
-        tile_t = min(tile_t, 512)
-    while t % tile_t and tile_t > TARGET_ALIGN:
-        tile_t //= 2
-    if t % tile_t or tile_t % TARGET_ALIGN:
-        raise ValueError(
-            f"T={t} must be divisible by a tile <= tile_targets={tile_targets} "
-            f"(align {TARGET_ALIGN})")
-    if s % SOURCE_ALIGN:
-        raise ValueError(f"S={s} must be a multiple of {SOURCE_ALIGN}")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    # Tile choice (512-cap for short source rows, halving to a divisor of t)
+    # plus the hardware 128-lane block legalization — see the function doc.
+    tile_t = resolve_tile_targets(t, tile_targets, s, hardware=not interpret)
+    if s % SOURCE_ALIGN:
+        raise ValueError(f"S={s} must be a multiple of {SOURCE_ALIGN}")
 
     n_out = 3 if integrate else 1
     pairs = t * s
