@@ -246,3 +246,50 @@ def test_resolve_tile_targets_hardware_legalization():
             got = resolve_tile_targets(t, req, 2048, hardware=True)
             assert t % got == 0
             assert got % 128 == 0 or got == t, (t, req, got)
+
+
+def test_mosaic_aot_compiles_kernel_at_interpret_shapes():
+    """AOT-lower and Mosaic-compile the kernel against a chipless v5e
+    topology at the INTERPRETER-sized shapes CI runs (tile_targets=8;
+    T=2000 is 8-aligned but not 128-aligned, T=2048 takes the 128-bump) —
+    the exact class of failure the interpreter cannot see: round 5 caught
+    a (6, 16) block over (6, 2000) being rejected by the live TPU lowering
+    while every interpret-mode test passed. Complements
+    test_ring_barrier's AOT compile of the multi-chip kernel."""
+    import jax
+    from jax.experimental import topologies
+    from jax.sharding import SingleDeviceSharding
+
+    from nbody_tpu.ops.pallas_forces import fused_substep, pallas_acc
+
+    try:
+        topo = topologies.get_topology_desc("v5e:2x4", "tpu")
+    except Exception as e:  # no libtpu in this environment
+        pytest.skip(f"chipless TPU AOT unavailable: {e}")
+
+    sh = SingleDeviceSharding(topo.devices[0])
+    for t, s in ((2000, 2048), (2048, 2048)):
+        args = [
+            jax.ShapeDtypeStruct((t, 2), jnp.float32, sharding=sh),
+            jax.ShapeDtypeStruct((t,), jnp.float32, sharding=sh),
+            jax.ShapeDtypeStruct((s, 2), jnp.float32, sharding=sh),
+            jax.ShapeDtypeStruct((s,), jnp.float32, sharding=sh),
+        ]
+
+        def acc_body(tp, tr, sp, sg):
+            return pallas_acc(tp, tr, sp, sg, tile_targets=8,
+                              tile_sources=128, interpret=False)
+
+        compiled = jax.jit(acc_body).lower(*args).compile()
+        assert compiled is not None, (t, s)
+
+        def step_body(tp, tr, sp, sg):
+            import jax.numpy as jnp_
+            src = jnp_.concatenate([jnp_.transpose(sp), sg[None, :]], axis=0)
+            return fused_substep(
+                jnp_.float32(0.01), tp, jnp_.zeros_like(tp), tr,
+                jnp_.ones((t, 1), jnp_.float32), src, tile_targets=8,
+                tile_sources=128, interpret=False)
+
+        compiled = jax.jit(step_body).lower(*args).compile()
+        assert compiled is not None, (t, s)
