@@ -210,24 +210,26 @@ def run_primary(args) -> dict:
         ring = ring_virtual8()
         result["ring_virtual8"] = ring
         log(f"ring virtual-8: {ring}")
-        # Grid-backend gates (round-4 VERDICT task 4): p3m/pm are what
-        # `auto` actually selects above AUTO_P3M_MIN_PAIRS; without a
-        # driver-visible number a CIC/FFT/PP perf regression is silent.
-        # Measured at the auto-selected regime (N=262144, BASELINE.json's
-        # sharded-config size, on however many chips are present — one
-        # here), like bench.c:25-35 measuring every backend it ships.
-        gn = args.grid_gate_n
-        if gn:
-            gw = make_world(gn)
-            for gb in ("p3m", "pm"):
-                gus = min(bench_world(gw, gb, iters=20,
-                                      warmup=3 if r == 0 else 0)
-                          for r in range(2))
-                result[f"{gb}_us_per_step_n{gn}"] = gus
-                log(f"{gb} @ N={gn}: {gus:.1f} µs/step "
-                    f"({gw.total_len * gw.mass_len / (gus / 1e6):.3e} "
-                    f"equivalent pairs/s)")
-            del gw
+    # Grid-backend gates (round-4 VERDICT task 4): p3m/pm are what
+    # `auto` actually selects above AUTO_P3M_MIN_PAIRS; without a
+    # driver-visible number a CIC/FFT/PP perf regression is silent.
+    # Measured at the auto-selected regime (N=262144, BASELINE.json's
+    # sharded-config size, on however many chips are present — one
+    # here), like bench.c:25-35 measuring every backend it ships.
+    # Controlled ONLY by --grid-gate-n (0 disables) — independent of
+    # --no-kernel-gates, which covers the pallas/ring records.
+    gn = args.grid_gate_n
+    if gn:
+        gw = make_world(gn)
+        for gb in ("p3m", "pm"):
+            gus = min(bench_world(gw, gb, iters=20,
+                                  warmup=3 if r == 0 else 0)
+                      for r in range(2))
+            result[f"{gb}_us_per_step_n{gn}"] = gus
+            log(f"{gb} @ N={gn}: {gus:.1f} µs/step "
+                f"({gw.total_len * gw.mass_len / (gus / 1e6):.3e} "
+                f"equivalent pairs/s)")
+        del gw
     return result
 
 

@@ -356,7 +356,14 @@ def main(argv=None) -> None:
                     help="persist XLA compilations to DIR (bare flag: "
                          "$NBODY_TPU_CACHE_DIR or ~/.cache/nbody_tpu/xla) "
                          "so repeat launches skip the 20-40 s cold jit "
-                         "(utils.enable_compile_cache)")
+                         "(utils.enable_compile_cache). A DIR that collides "
+                         "with a subcommand name needs --compile-cache=DIR")
+    ap.add_argument("--platform", default=None, metavar="P",
+                    help="force a jax platform in-process before any device "
+                         "touch (e.g. 'cpu' — the wedged-remote-device "
+                         "escape named by DeviceUnreachableError; the "
+                         "JAX_PLATFORMS env var is too late where a "
+                         "sitecustomize preimports jax)")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("run", help="headless simulation")
@@ -407,18 +414,25 @@ def main(argv=None) -> None:
     p.set_defaults(fn=cmd_view)
 
     args = ap.parse_args(argv)
+    if args.platform:
+        # must precede the first device touch; backends initialize lazily,
+        # so config.update wins even though jax may already be imported
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     if args.compile_cache is not None:
         from .utils import enable_compile_cache
         enable_compile_cache(args.compile_cache or None)
     from .utils.device_check import (
         DeviceUnreachableError, check_device, looks_remote_attached)
-    if looks_remote_attached():
+    if args.platform != "cpu" and looks_remote_attached():
         # Remote-attached devices (TPU tunnels) can wedge such that the
         # first device touch blocks FOREVER; fail in seconds with the
         # remedy instead (round-4 VERDICT task 5). Local backends skip the
         # probe — they fail fast on their own. NBODY_TPU_NO_PROBE=1 skips.
         try:
-            check_device(log=lambda m: print(m, file=sys.stderr))
+            check_device(platform=args.platform,
+                         log=lambda m: print(m, file=sys.stderr))
         except DeviceUnreachableError as e:
             print(f"nbody_tpu: {e}", file=sys.stderr)
             raise SystemExit(3)

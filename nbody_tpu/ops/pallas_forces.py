@@ -83,14 +83,18 @@ RESIDENT_SOURCE_MAX = 131072
 # (bandwidth-trivial, <0.1%) DMA of the padded tail block.
 STREAM_SRC_BLOCK = 131072
 
-# Largest whole-array target block accepted when legalizing a tile for the
-# Mosaic block-spec rule (the in-kernel compute materializes (tile_t, chunk)
-# values, so whole-array is only safe while that stays far under VMEM).
+# Bounds for the whole-array-target-block fallback when legalizing a tile
+# for the Mosaic block-spec rule. The in-kernel compute materializes
+# (tile_t, chunk) broadcast temporaries (DESIGN.md §3), and (1024, 2048)
+# already sits near the 16 MB scoped-VMEM limit — so the fallback is
+# accepted only while tile_t * chunk stays within that measured-good
+# product (and tile_t within an absolute cap).
 WHOLE_TARGET_MAX = 4096
+WHOLE_BLOCK_ELEMS = 1024 * 2048
 
 
 def resolve_tile_targets(t: int, tile_targets: int, s: int,
-                         hardware: bool) -> int:
+                         hardware: bool, chunk: int | None = None) -> int:
     """Pick the target-tile width the kernel will actually use.
 
     Halves the requested ``tile_targets`` until it divides ``t`` (the caller
@@ -106,10 +110,15 @@ def resolve_tile_targets(t: int, tile_targets: int, s: int,
     targets padded only to the 8-sublane minimum satisfy neither — the
     interpreter accepts them, the hardware lowering raises. Legal fixups,
     in order: bump to exactly 128 when 128 | t; fall back to one
-    whole-array block when t <= WHOLE_TARGET_MAX; otherwise fail with the
-    remedy (pad targets to a multiple of 128, as World's production
-    configs already do via their tile_targets).
+    whole-array block when t <= WHOLE_TARGET_MAX AND the implied
+    (t, chunk) compute block stays within the measured VMEM-safe product
+    (WHOLE_BLOCK_ELEMS — ``chunk`` is the kernel's source-slice width,
+    min(tile_sources, S)); otherwise fail with the remedy (pad targets to
+    a multiple of 128, as World's production configs already do via their
+    tile_targets).
     """
+    if chunk is None:
+        chunk = min(2048, s)
     tile_t = min(tile_targets, t)
     if s <= 4096:
         tile_t = min(tile_t, 512)
@@ -122,15 +131,18 @@ def resolve_tile_targets(t: int, tile_targets: int, s: int,
     if hardware and tile_t % SOURCE_ALIGN and tile_t != t:
         if t % SOURCE_ALIGN == 0:
             tile_t = SOURCE_ALIGN
-        elif t <= WHOLE_TARGET_MAX:
+        elif t <= WHOLE_TARGET_MAX and t * chunk <= WHOLE_BLOCK_ELEMS:
             tile_t = t
         else:
             raise ValueError(
                 f"target tile {tile_t} cannot lower on TPU: Mosaic requires "
                 f"the block's lane dim to be a multiple of {SOURCE_ALIGN} or "
-                f"the whole array, and T={t} admits neither — pad targets to "
-                f"a multiple of {SOURCE_ALIGN} (use tile_targets >= 128 so "
-                f"World pads for you)")
+                f"the whole array, and T={t} admits no {SOURCE_ALIGN}-"
+                f"multiple tile (the whole-array fallback is only VMEM-safe "
+                f"up to T={WHOLE_TARGET_MAX} with T*chunk <= "
+                f"{WHOLE_BLOCK_ELEMS}; here T*chunk={t * chunk}) — pad "
+                f"targets to a multiple of {SOURCE_ALIGN} (use tile_targets "
+                f">= 128 so World pads for you) or lower tile_sources")
     return tile_t
 
 
@@ -343,7 +355,8 @@ def _substep_call(
         interpret = jax.default_backend() != "tpu"
     # Tile choice (512-cap for short source rows, halving to a divisor of t)
     # plus the hardware 128-lane block legalization — see the function doc.
-    tile_t = resolve_tile_targets(t, tile_targets, s, hardware=not interpret)
+    tile_t = resolve_tile_targets(t, tile_targets, s, hardware=not interpret,
+                                  chunk=min(tile_sources, s))
     if s % SOURCE_ALIGN:
         raise ValueError(f"S={s} must be a multiple of {SOURCE_ALIGN}")
 

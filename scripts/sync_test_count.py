@@ -28,6 +28,19 @@ CLAIMS = [
 ]
 
 
+def stale_claims(n: int) -> list[tuple[str, int]]:
+    """Every CLAIMS entry whose quoted count differs from ``n`` — shared by
+    ``main`` (--check) and tests/test_docs.py so the two can't drift."""
+    out = []
+    for rel, pat in CLAIMS:
+        m = re.search(pat, (ROOT / rel).read_text())
+        if not m:
+            raise SystemExit(f"{rel}: pattern {pat!r} not found")
+        if int(m.group(1)) != n:
+            out.append((rel, int(m.group(1))))
+    return out
+
+
 def collected_count() -> int:
     out = subprocess.run(
         [sys.executable, "-m", "pytest", "tests/", "--collect-only", "-q"],

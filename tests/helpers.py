@@ -24,8 +24,9 @@ def load_hex_dump(path):
     """Parse a scripts/ref_scene_dump.c hex-float file (one particle per
     line: ``pos.x pos.y vel.x vel.y mass radius`` as C ``%a`` floats, in
     generation order) into an (N, 6) float32 array."""
-    rows = [[np.float32(float.fromhex(tok)) for tok in line.split()]
-            for line in open(path)]
+    with open(path) as f:
+        rows = [[np.float32(float.fromhex(tok)) for tok in line.split()]
+                for line in f]
     return np.array(rows, np.float32)
 
 

@@ -1,5 +1,7 @@
 """CLI app end-to-end on CPU: run/save/resume/render/gif subcommands."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -270,3 +272,28 @@ def test_adaptive_with_dt_auto_and_force_free(tmp_path):
           "--save", out])
     with np.load(out) as d:
         assert np.isfinite(d["pos"]).all()
+
+
+def test_platform_flag_runs(tmp_path):
+    """--platform cpu is the CLI escape DeviceUnreachableError's remedy
+    names (it previously named a flag that did not exist): must parse, pin
+    the in-process platform, and skip the remote-device probe."""
+    import jax
+
+    state = str(tmp_path / "s.npz")
+    main(["--platform", "cpu", "run", "--n", "250", "--galaxies", "1",
+          "--steps", "2", "--save", state])
+    assert jax.default_backend() == "cpu"
+    assert os.path.exists(state)
+
+
+def test_compile_cache_equals_form_keeps_subcommand_named_dir(tmp_path):
+    """A cache DIR that collides with a subcommand name is expressible via
+    --compile-cache=DIR (the bare-form heuristic cannot distinguish it
+    from the subcommand, as documented in the flag's help)."""
+    cache = str(tmp_path / "view")
+    state = str(tmp_path / "s.npz")
+    main([f"--compile-cache={cache}", "run", "--n", "250", "--galaxies",
+          "1", "--steps", "1", "--save", state])
+    assert os.path.isdir(cache)
+    assert os.path.exists(state)

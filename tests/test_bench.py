@@ -23,6 +23,7 @@ def test_primary_json_contract(capsys):
         repeats = 1
         backend = "jnp"
         no_kernel_gates = True
+        grid_gate_n = 0
 
     result = bench.run_primary(Args())
     assert set(result) == {"metric", "value", "unit", "vs_baseline",
@@ -31,6 +32,26 @@ def test_primary_json_contract(capsys):
     assert result["value"] > 0
     assert result["vs_baseline"] == result["value"] / 1e11
     json.dumps(result)  # serializable
+
+
+def test_grid_gates_independent_of_kernel_gates(capsys):
+    """--no-kernel-gates covers the pallas/ring records ONLY; the grid
+    gates are controlled solely by --grid-gate-n (review r5: nesting them
+    under the kernel-gate switch silently dropped documented records)."""
+    class Args:
+        n = 250
+        iters = 2
+        warmup = 1
+        repeats = 1
+        backend = "jnp"
+        no_kernel_gates = True
+        grid_gate_n = 2048
+
+    result = bench.run_primary(Args())
+    assert "pallas_us_per_step" not in result
+    assert "ring_virtual8" not in result
+    assert result["p3m_us_per_step_n2048"] > 0
+    assert result["pm_us_per_step_n2048"] > 0
 
 
 def test_primary_kernel_gate_records(capsys):

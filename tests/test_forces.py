@@ -220,14 +220,14 @@ def test_resolve_tile_targets_hardware_legalization():
         WHOLE_TARGET_MAX, resolve_tile_targets)
 
     # The live failure: t=2000 (8-aligned, not 128-aligned) with a tiny
-    # requested tile -> one whole-array block on hardware.
-    assert resolve_tile_targets(2000, 8, 2048, hardware=True) == 2000
+    # requested tile and the PRECISE config's 128-chunk -> one whole-array
+    # block on hardware.
+    assert resolve_tile_targets(2000, 8, 2048, hardware=True, chunk=128) == 2000
     # Same shapes stay interpreter-sized when not lowering for hardware
     # (the World passes kernel_tile_targets=1024; halving lands on 16 —
     # the exact illegal block of the live failure).
-    assert resolve_tile_targets(2000, 8, 2048, hardware=False) == 8
+    assert resolve_tile_targets(2000, 8, 2048, hardware=False, chunk=128) == 8
     assert resolve_tile_targets(2000, 1024, 2048, hardware=False) == 16
-    assert resolve_tile_targets(2000, 1024, 2048, hardware=True) == 2000
     # 128 divides t: bump the tiny tile to the 128 minimum instead.
     assert resolve_tile_targets(2048, 8, 2048, hardware=True) == 128
     # Production config untouched (already legal; 512-cap for short s).
@@ -235,15 +235,21 @@ def test_resolve_tile_targets_hardware_legalization():
     assert resolve_tile_targets(65536, 1024, 131072, hardware=True) == 1024
     # Whole-array fallback also covers t below the requested tile.
     assert resolve_tile_targets(16, 8, 128, hardware=True) == 16
-    # No legal tile exists above the whole-array budget: fail with remedy.
+    # The fallback is VMEM-bounded: at the default 2048-chunk a (2000, 2048)
+    # compute block would overflow scoped VMEM (the (1024, 2048) production
+    # block already sits near the limit), so the resolver must refuse with
+    # the remedy instead of emitting an opaque Mosaic compile failure.
+    with pytest.raises(ValueError, match="lower tile_sources"):
+        resolve_tile_targets(2000, 1024, 2048, hardware=True, chunk=2048)
+    # No legal tile exists above the whole-array cap: fail with remedy.
     bad_t = WHOLE_TARGET_MAX + 8  # 8-aligned, not 128-aligned, too big
     assert bad_t % 128
     with pytest.raises(ValueError, match="multiple of 128"):
-        resolve_tile_targets(bad_t, 8, 2048, hardware=True)
+        resolve_tile_targets(bad_t, 8, 2048, hardware=True, chunk=128)
     # Every legal result satisfies the Mosaic rule.
     for t in (16, 256, 384, 2000, 2048, 4096, 65536):
         for req in (8, 16, 128, 512, 1024):
-            got = resolve_tile_targets(t, req, 2048, hardware=True)
+            got = resolve_tile_targets(t, req, 2048, hardware=True, chunk=128)
             assert t % got == 0
             assert got % 128 == 0 or got == t, (t, req, got)
 

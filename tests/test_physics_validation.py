@@ -229,10 +229,17 @@ import os as _os
 
 from helpers import PRECISE, load_hex_dump
 from nbody_tpu.models import make_galaxies_libc
+from nbody_tpu.models.galaxy_ref import available as _libm_available
 from nbody_tpu.world import partition_massive_first
 
 _DATA = _os.path.join(_os.path.dirname(__file__), "data")
 _REF_TRAJ = "ref_traj_n2000_g2_seed11037_s{steps}_dt0.01.hex"
+
+# The bit-exact IC needs the platform libm (a 1-ulp transcendental
+# difference flips a rejection-sampling branch and shifts the whole rand()
+# stream) — skip like every other oracle-based module, don't fail.
+_needs_libm = pytest.mark.skipif(
+    not _libm_available(), reason="oracle needs the platform libm via ctypes")
 
 
 def _bitexact_world_and_golden(steps, flavor=""):
@@ -247,6 +254,7 @@ def _bitexact_world_and_golden(steps, flavor=""):
 
 
 @pytest.mark.parametrize("backend", ["jnp", "pallas"])
+@_needs_libm
 def test_reference_binary_pointwise_20_steps(backend):
     """Pointwise parity at 20 substeps — inside the Lyapunov horizon, where
     the reference agrees with ITSELF (AVX vs scalar) to 6.3e-8 relative
@@ -265,6 +273,7 @@ def test_reference_binary_pointwise_20_steps(backend):
     assert dvel < 5e-6, f"rel vel error vs reference binary {dvel:.2e}"
 
 
+@_needs_libm
 def test_reference_binary_pointwise_100_steps():
     """100 substeps: the reference's own AVX-vs-scalar spread reaches 1.4e-4
     relative position / 2.8e-2 velocity (close-encounter tail); the
@@ -296,6 +305,7 @@ def _robust_metrics(rows):
 
 
 @pytest.mark.slow
+@_needs_libm
 def test_reference_binary_10k_steps():
     """The north star at full horizon: 10,000 substeps from the bit-exact IC
     vs the reference binary's own 10k-step state.
@@ -339,6 +349,7 @@ def test_reference_binary_10k_steps():
     assert np.all(fw_rq < 4 * np.maximum(self_rq, 5e-2)), (fw_rq, self_rq)
 
 
+@_needs_libm
 def test_reference_binary_live_redump(tmp_path):
     """Audit path: recompile the reference from /root/reference in place,
     re-dump a 20-step trajectory at a DIFFERENT seed than the committed
