@@ -335,14 +335,20 @@ def _fix_bare_compile_cache(argv):
     subcommand or another option so both documented forms work.
     """
     argv = list(argv)
-    for i, tok in enumerate(argv):
+    i = 0
+    while i < len(argv):
+        tok = argv[i]
         if tok == "--compile-cache":
             nxt = argv[i + 1] if i + 1 < len(argv) else None
             if nxt is None or nxt in _SUBCOMMANDS or nxt.startswith("-"):
                 argv.insert(i + 1, "")
             break
-        if not tok.startswith("-"):  # subcommand reached; later flags are its own
-            break
+        if tok == "--platform":
+            i += 2  # skip the flag AND its value (review r5: a value like
+            continue  # 'cpu' must not read as "subcommand reached")
+        if tok in _SUBCOMMANDS:
+            break  # subcommand reached; later flags are its own
+        i += 1
     return argv
 
 

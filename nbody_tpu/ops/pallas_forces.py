@@ -83,12 +83,14 @@ RESIDENT_SOURCE_MAX = 131072
 # (bandwidth-trivial, <0.1%) DMA of the padded tail block.
 STREAM_SRC_BLOCK = 131072
 
-# Bounds for the whole-array-target-block fallback when legalizing a tile
-# for the Mosaic block-spec rule. The in-kernel compute materializes
+# Bounds for hardware tile choices. The in-kernel compute materializes
 # (tile_t, chunk) broadcast temporaries (DESIGN.md §3), and (1024, 2048)
-# already sits near the 16 MB scoped-VMEM limit — so the fallback is
-# accepted only while tile_t * chunk stays within that measured-good
-# product (and tile_t within an absolute cap).
+# already sits near the 16 MB scoped-VMEM limit — with only HALF that
+# product safe in the short-source regime (S <= 4096 collapses the chunk
+# loop and widens Mosaic live ranges: (1024, 2048) measured +96 KB over
+# budget there, hence the 512-row cap). Every hardware tile — requested,
+# halved, 128-bumped, or the whole-array fallback (capped at
+# WHOLE_TARGET_MAX rows) — must stay within the regime's budget.
 WHOLE_TARGET_MAX = 4096
 WHOLE_BLOCK_ELEMS = 1024 * 2048
 
@@ -110,12 +112,15 @@ def resolve_tile_targets(t: int, tile_targets: int, s: int,
     targets padded only to the 8-sublane minimum satisfy neither — the
     interpreter accepts them, the hardware lowering raises. Legal fixups,
     in order: bump to exactly 128 when 128 | t; fall back to one
-    whole-array block when t <= WHOLE_TARGET_MAX AND the implied
-    (t, chunk) compute block stays within the measured VMEM-safe product
-    (WHOLE_BLOCK_ELEMS — ``chunk`` is the kernel's source-slice width,
-    min(tile_sources, S)); otherwise fail with the remedy (pad targets to
-    a multiple of 128, as World's production configs already do via their
-    tile_targets).
+    whole-array block when t <= WHOLE_TARGET_MAX; otherwise fail with the
+    remedy (pad targets to a multiple of 128, as World's production
+    configs already do via their tile_targets). Finally, EVERY hardware
+    tile — including a tile that equals t naturally and so skipped both
+    the halving and the fixups — must keep the implied (tile_t, chunk)
+    compute block within the regime's VMEM-safe budget (``chunk`` is the
+    kernel's source-slice width, min(tile_sources, S)); over-budget
+    shapes raise the actionable error instead of an opaque Mosaic
+    VMEM-overflow at compile time.
     """
     if chunk is None:
         chunk = min(2048, s)
@@ -128,21 +133,30 @@ def resolve_tile_targets(t: int, tile_targets: int, s: int,
         raise ValueError(
             f"T={t} must be divisible by a tile <= tile_targets={tile_targets} "
             f"(align {TARGET_ALIGN})")
-    if hardware and tile_t % SOURCE_ALIGN and tile_t != t:
-        if t % SOURCE_ALIGN == 0:
-            tile_t = SOURCE_ALIGN
-        elif t <= WHOLE_TARGET_MAX and t * chunk <= WHOLE_BLOCK_ELEMS:
-            tile_t = t
-        else:
+    if hardware:
+        if tile_t % SOURCE_ALIGN and tile_t != t:
+            if t % SOURCE_ALIGN == 0:
+                tile_t = SOURCE_ALIGN
+            elif t <= WHOLE_TARGET_MAX:
+                tile_t = t
+            else:
+                raise ValueError(
+                    f"target tile {tile_t} cannot lower on TPU: Mosaic "
+                    f"requires the block's lane dim to be a multiple of "
+                    f"{SOURCE_ALIGN} or the whole array, and T={t} admits "
+                    f"no {SOURCE_ALIGN}-multiple tile (whole-array blocks "
+                    f"are capped at T={WHOLE_TARGET_MAX}) — pad targets to "
+                    f"a multiple of {SOURCE_ALIGN} (use tile_targets >= 128 "
+                    f"so World pads for you)")
+        budget = WHOLE_BLOCK_ELEMS // 2 if s <= 4096 else WHOLE_BLOCK_ELEMS
+        if tile_t * chunk > budget:
             raise ValueError(
-                f"target tile {tile_t} cannot lower on TPU: Mosaic requires "
-                f"the block's lane dim to be a multiple of {SOURCE_ALIGN} or "
-                f"the whole array, and T={t} admits no {SOURCE_ALIGN}-"
-                f"multiple tile (the whole-array fallback is only VMEM-safe "
-                f"up to T={WHOLE_TARGET_MAX} with T*chunk <= "
-                f"{WHOLE_BLOCK_ELEMS}; here T*chunk={t * chunk}) — pad "
-                f"targets to a multiple of {SOURCE_ALIGN} (use tile_targets "
-                f">= 128 so World pads for you) or lower tile_sources")
+                f"(tile_t={tile_t}) x (chunk={chunk}) compute blocks exceed "
+                f"the VMEM-safe budget ({budget} elements"
+                f"{' in the short-source regime' if s <= 4096 else ''}; the "
+                f"(1024, 2048) production block already sits near the 16 MB "
+                f"scoped-VMEM limit) — pad targets to a multiple of "
+                f"{SOURCE_ALIGN} / lower tile_targets, or lower tile_sources")
     return tile_t
 
 

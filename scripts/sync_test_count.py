@@ -55,18 +55,14 @@ def collected_count() -> int:
 def main() -> int:
     check = "--check" in sys.argv
     n = collected_count()
-    stale = []
-    for rel, pat in CLAIMS:
-        path = ROOT / rel
-        text = path.read_text()
-        m = re.search(pat, text)
-        if not m:
-            raise SystemExit(f"{rel}: pattern {pat!r} not found")
-        if int(m.group(1)) != n:
-            stale.append((rel, int(m.group(1))))
-            if not check:
-                start, end = m.span(1)
-                path.write_text(text[:start] + str(n) + text[end:])
+    stale = stale_claims(n)
+    if not check:
+        for rel, _ in stale:
+            path = ROOT / rel
+            text = path.read_text()
+            m = re.search(dict(CLAIMS)[rel], text)
+            start, end = m.span(1)
+            path.write_text(text[:start] + str(n) + text[end:])
     if stale:
         verb = "STALE" if check else "updated"
         for rel, old in stale:

@@ -274,17 +274,40 @@ def test_adaptive_with_dt_auto_and_force_free(tmp_path):
         assert np.isfinite(d["pos"]).all()
 
 
-def test_platform_flag_runs(tmp_path):
+def test_platform_flag_runs(tmp_path, monkeypatch):
     """--platform cpu is the CLI escape DeviceUnreachableError's remedy
     names (it previously named a flag that did not exist): must parse, pin
-    the in-process platform, and skip the remote-device probe."""
+    the in-process platform, and skip the remote-device probe. The test
+    session already runs on cpu, so the pin is asserted via a config-update
+    spy, not the (vacuously cpu) default backend."""
     import jax
 
+    calls = []
+    orig = jax.config.update
+
+    def spy(name, value):
+        calls.append((name, value))
+        orig(name, value)
+
+    monkeypatch.setattr(jax.config, "update", spy)
     state = str(tmp_path / "s.npz")
     main(["--platform", "cpu", "run", "--n", "250", "--galaxies", "1",
           "--steps", "2", "--save", state])
-    assert jax.default_backend() == "cpu"
+    assert ("jax_platforms", "cpu") in calls
     assert os.path.exists(state)
+
+
+def test_platform_flag_composes_with_bare_compile_cache(tmp_path,
+                                                        monkeypatch):
+    """The two wedge-remedy flags must compose: --platform's VALUE ('cpu')
+    must not stop the bare --compile-cache preprocessor's scan (review r5:
+    it read as 'subcommand reached' and the subcommand got eaten as DIR)."""
+    monkeypatch.setenv("NBODY_TPU_CACHE_DIR", str(tmp_path / "cache"))
+    state = str(tmp_path / "s.npz")
+    main(["--platform", "cpu", "--compile-cache", "run", "--n", "250",
+          "--galaxies", "1", "--steps", "1", "--save", state])
+    assert os.path.exists(state)
+    assert os.path.isdir(str(tmp_path / "cache"))
 
 
 def test_compile_cache_equals_form_keeps_subcommand_named_dir(tmp_path):

@@ -235,12 +235,24 @@ def test_resolve_tile_targets_hardware_legalization():
     assert resolve_tile_targets(65536, 1024, 131072, hardware=True) == 1024
     # Whole-array fallback also covers t below the requested tile.
     assert resolve_tile_targets(16, 8, 128, hardware=True) == 16
-    # The fallback is VMEM-bounded: at the default 2048-chunk a (2000, 2048)
-    # compute block would overflow scoped VMEM (the (1024, 2048) production
-    # block already sits near the limit), so the resolver must refuse with
-    # the remedy instead of emitting an opaque Mosaic compile failure.
+    # Hardware tiles are VMEM-bounded: at the default 2048-chunk a
+    # (2000, 2048) compute block would overflow scoped VMEM (the
+    # (1024, 2048) production block already sits near the limit), so the
+    # resolver must refuse with the remedy instead of emitting an opaque
+    # Mosaic compile failure.
     with pytest.raises(ValueError, match="lower tile_sources"):
         resolve_tile_targets(2000, 1024, 2048, hardware=True, chunk=2048)
+    # ... including when tile_t == t arrives NATURALLY (review r5: the
+    # legalization branch is skipped, but the bound must still hold) ...
+    with pytest.raises(ValueError, match="lower tile_sources"):
+        resolve_tile_targets(2000, 2048, 8192, hardware=True, chunk=2048)
+    # ... and in the short-source regime the budget is HALVED (the 512-row
+    # cap encodes the same measurement), so a (1000, 2048) whole-array
+    # fallback refuses where its 128-chunk twin is fine.
+    with pytest.raises(ValueError, match="short-source"):
+        resolve_tile_targets(1000, 1024, 2048, hardware=True, chunk=2048)
+    assert resolve_tile_targets(1000, 1024, 2048, hardware=True,
+                                chunk=128) == 1000
     # No legal tile exists above the whole-array cap: fail with remedy.
     bad_t = WHOLE_TARGET_MAX + 8  # 8-aligned, not 128-aligned, too big
     assert bad_t % 128
@@ -263,14 +275,15 @@ def test_mosaic_aot_compiles_kernel_at_interpret_shapes():
     while every interpret-mode test passed. Complements
     test_ring_barrier's AOT compile of the multi-chip kernel."""
     import jax
-    from jax.experimental import topologies
     from jax.sharding import SingleDeviceSharding
 
     from nbody_tpu.ops.pallas_forces import fused_substep, pallas_acc
 
     try:
+        from jax.experimental import topologies
+
         topo = topologies.get_topology_desc("v5e:2x4", "tpu")
-    except Exception as e:  # no libtpu in this environment
+    except Exception as e:  # no libtpu / moved module in this environment
         pytest.skip(f"chipless TPU AOT unavailable: {e}")
 
     sh = SingleDeviceSharding(topo.devices[0])
